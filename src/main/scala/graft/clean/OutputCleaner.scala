@@ -1,0 +1,267 @@
+package graft.clean
+
+import java.util.regex.Pattern
+
+import graft.json.{JArr, JInt, JNull, JObj, JStr, JValue, PyJson, PyJsonParseException}
+import graft.text.Py
+
+/** Per-row lineage counters for the repair ladder — the A1 "clean_ops"
+  * record (dots_ocr/utils/output_cleaner.py:50-55,115-123).
+  */
+final case class CleanOps(
+    opType: String,                 // "list" | "str" | "none"
+    originalCount: Int = 0,         // list path
+    bboxFixes: Int = 0,
+    removedItems: Int = 0,
+    finalCount: Int = 0,
+    originalLength: Int = 0,        // string path
+    delimiterFixes: Int = 0,
+    tailTruncated: Boolean = false,
+    truncatedLength: Int = 0,
+    duplicateDictsRemoved: Int = 0,
+    finalObjects: Int = 0,
+    pairDedupRemoved: Int = 0,      // C9 second pass
+    success: Boolean = true)
+
+object CleanOps {
+  val none: CleanOps = CleanOps(opType = "none")
+}
+
+/** Exact port of the reference's `OutputCleaner`
+  * (dots_ocr/utils/output_cleaner.py:32-435): the ordered repair ladder for
+  * malformed layout-model JSON. Regex/string semantics follow CPython
+  * (lazy quantifiers, Unicode `\s`, `str.strip`/`rstrip`/`count`/`rfind`) —
+  * see SURVEY.md §7.4.4. All state is local; one instance's compiled
+  * patterns are shared per partition (Q2 idiom, SURVEY §2.10).
+  */
+object OutputCleaner {
+
+  // output_cleaner.py:37-39 — note: no '.' in these patterns, so Python's
+  // re.DOTALL flag is a no-op; UNICODE_CHARACTER_CLASS aligns Java \s with
+  // Python's Unicode-aware \s.
+  private val DictPattern = Pattern.compile(
+    """\{[^{}]*?"bbox"\s*:\s*\[[^\]]*?\][^{}]*?\}""", Pattern.UNICODE_CHARACTER_CLASS)
+  private val BboxPattern = Pattern.compile(
+    """"bbox"\s*:\s*\[([^\]]+)\]""", Pattern.UNICODE_CHARACTER_CLASS)
+  private val MissingDelimiterPattern = Pattern.compile(
+    """\}\s*\{(?!")""", Pattern.UNICODE_CHARACTER_CLASS)
+  private val CategoryPattern = Pattern.compile(""""category"\s*:\s*"([^"]+)"""")
+  private val TextPrefixPattern = Pattern.compile(""""text"\s*:\s*"([^"]{0,10000})""")
+
+  /** Result of `clean_model_output` (output_cleaner.py:418-435): either the
+    * cleaned list of cell objects, or — on the outer exception path — the
+    * input returned unchanged.
+    */
+  final case class CleanResult(cleaned: Either[String, Vector[JValue]], ops: CleanOps)
+
+  /** output_cleaner.py:418-435. `input` is Right(list) when the upstream
+    * json.loads produced a Python list, else Left(raw-string) (CPython calls
+    * `str()` on non-list input; our engine only ever passes strings there).
+    */
+  def cleanModelOutput(input: Either[String, Vector[JValue]]): CleanResult = {
+    try {
+      val (data, ops0) = input match {
+        case Right(list) => cleanListData(list)
+        case Left(str)   => cleanStringData(str)
+      }
+      if (ops0.success && data.nonEmpty) {
+        val (deduped, removed) = removeDuplicateCategoryTextPairsAndBbox(data)
+        CleanResult(Right(deduped), ops0.copy(pairDedupRemoved = removed))
+      } else CleanResult(Right(data), ops0)
+    } catch {
+      case _: Exception =>
+        // output_cleaner.py:433-435 — return model_output unchanged
+        CleanResult(input.left.map(identity), CleanOps.none.copy(success = false))
+    }
+  }
+
+  /** output_cleaner.py:43-107 — triage of an already-parsed list. */
+  def cleanListData(data: Vector[JValue]): (Vector[JValue], CleanOps) = {
+    var bboxFixes = 0
+    var removed = 0
+    val out = Vector.newBuilder[JValue]
+    data.foreach {
+      case item: JObj =>
+        item.get("bbox") match {
+          case Some(JArr(bbox)) if bbox.length == 3 =>
+            // keep only category/text, in that order (output_cleaner.py:67-80)
+            var ni = JObj(Vector.empty)
+            item.get("category").foreach(v => ni = ni.put("category", v))
+            item.get("text").foreach(v => ni = ni.put("text", v))
+            if (ni.entries.nonEmpty) { out += ni; bboxFixes += 1 } else removed += 1
+          case Some(JArr(bbox)) if bbox.length == 4 =>
+            out += item
+          case Some(_) =>
+            removed += 1 // abnormal bbox format
+          case None =>
+            if (item.contains("category")) out += item else removed += 1
+        }
+      case _ => removed += 1 // non-dict item
+    }
+    val res = out.result()
+    (res, CleanOps(opType = "list", originalCount = data.length, bboxFixes = bboxFixes,
+      removedItems = removed, finalCount = res.length))
+  }
+
+  /** output_cleaner.py:109-169 — the string repair ladder. */
+  def cleanStringData(dataStr: String): (Vector[JValue], CleanOps) = {
+    var ops = CleanOps(opType = "str", originalLength = dataStr.length)
+    try {
+      val (s1, delimiterFixes) = fixMissingDelimiters(dataStr)
+      ops = ops.copy(delimiterFixes = delimiterFixes)
+      val (s2, truncated) = truncateLastIncompleteElement(s1)
+      ops = ops.copy(tailTruncated = truncated, truncatedLength = s2.length)
+      val (s3, dupRemoves) = removeDuplicateCompleteDictsPreserveOrder(s2)
+      ops = ops.copy(duplicateDictsRemoved = dupRemoves)
+      val s4 = ensureJsonFormat(s3)
+      parseFinalJson(s4) match {
+        case Some(finalData) =>
+          (finalData, ops.copy(finalObjects = finalData.length, success = true))
+        case None =>
+          (Vector.empty, ops.copy(success = false))
+      }
+    } catch {
+      case _: Exception => (Vector.empty, ops.copy(success = false))
+    }
+  }
+
+  /** output_cleaner.py:171-186 */
+  def fixMissingDelimiters(text: String): (String, Int) = {
+    val m = MissingDelimiterPattern.matcher(text)
+    var fixes = 0
+    val sb = new java.lang.StringBuilder
+    while (m.find()) { fixes += 1; m.appendReplacement(sb, "},{") }
+    m.appendTail(sb)
+    (sb.toString, fixes)
+  }
+
+  /** output_cleaner.py:188-220 */
+  def truncateLastIncompleteElement(text: String): (String, Boolean) = {
+    val needsTruncation = text.length > 50000 || !Py.strip(text).endsWith("]")
+    if (needsTruncation) {
+      val bboxCount = Py.count(text, "{\"bbox\":")
+      if (bboxCount <= 1) return (text, false)
+      val lastBboxPos = Py.rfind(text, "{\"bbox\":")
+      if (lastBboxPos > 0) {
+        var truncated = Py.rstrip(text.substring(0, lastBboxPos))
+        if (truncated.endsWith(",")) truncated = truncated.substring(0, truncated.length - 1)
+        return (truncated, true)
+      }
+    }
+    (text, false)
+  }
+
+  /** output_cleaner.py:222-254 — first-occurrence dedup of complete dict
+    * substrings; on any duplicate the array is REBUILT with `", "` joins.
+    */
+  def removeDuplicateCompleteDictsPreserveOrder(text: String): (String, Int) = {
+    val m = DictPattern.matcher(text)
+    val unique = Vector.newBuilder[String]
+    val seen = scala.collection.mutable.HashSet.empty[String]
+    var dups = 0
+    var any = false
+    while (m.find()) {
+      any = true
+      val d = m.group()
+      if (seen.add(d)) unique += d else dups += 1
+    }
+    if (!any) (text, 0)
+    else if (dups > 0) ("[" + unique.result().mkString(", ") + "]", dups)
+    else (text, 0)
+  }
+
+  /** output_cleaner.py:256-269 */
+  def ensureJsonFormat(text0: String): String = {
+    var text = Py.strip(text0)
+    if (!text.startsWith("[")) text = "[" + text
+    if (!text.endsWith("]")) {
+      text = Py.rstrip(Py.rstrip(text, ","))
+      text = text + "]"
+    }
+    text
+  }
+
+  /** output_cleaner.py:271-299 — parse; fallback1 = per-match dict salvage;
+    * fallback2 = single-incomplete-dict recovery. A successful parse of a
+    * non-list returns None in CPython (no exception), mirrored here.
+    */
+  def parseFinalJson(text: String): Option[Vector[JValue]] = {
+    try {
+      PyJson.parse(text) match {
+        case JArr(items) => return Some(items)
+        case _           => return None
+      }
+    } catch {
+      case _: PyJsonParseException =>
+        val valid = Vector.newBuilder[JValue]
+        var n = 0
+        val m = DictPattern.matcher(text)
+        while (m.find()) {
+          try { valid += PyJson.parse(m.group()); n += 1 }
+          catch { case _: PyJsonParseException => () }
+        }
+        if (n > 0) return Some(valid.result())
+        return handleSingleIncompleteDict(text)
+    }
+    None
+  }
+
+  /** output_cleaner.py:301-345 */
+  def handleSingleIncompleteDict(text: String): Option[Vector[JValue]] = {
+    if (!Py.strip(text).startsWith("[{\"bbox\":")) return None
+    try {
+      val bboxM = BboxPattern.matcher(text)
+      if (!bboxM.find()) return None
+      val coords = bboxM.group(1).split(",", -1).toVector.map(x => Py.pyInt(x))
+      if (coords.length != 4) return None
+      val catM = CategoryPattern.matcher(text)
+      val category = if (catM.find()) catM.group(1) else "Text"
+      val textM = TextPrefixPattern.matcher(text)
+      val textContent = if (textM.find()) textM.group(1) else ""
+      var fixed = JObj(Vector.empty)
+        .put("bbox", JArr(coords.map(c => JInt(c): JValue)))
+        .put("category", JStr(category))
+      if (textContent.nonEmpty) fixed = fixed.put("text", JStr(textContent))
+      Some(Vector(fixed))
+    } catch {
+      case _: Exception => None
+    }
+  }
+
+  /** output_cleaner.py:347-416 — positional dedup: (category,text) pairs
+    * appearing ≥5 times and exact bboxes appearing ≥2 times keep only their
+    * first occurrence. Returns (cleaned, removedCount).
+    */
+  def removeDuplicateCategoryTextPairsAndBbox(dataList: Vector[JValue]): (Vector[JValue], Int) = {
+    if (dataList.length <= 1) return (dataList, 0)
+
+    val pairPositions = scala.collection.mutable.LinkedHashMap.empty[(JValue, JValue), List[Int]]
+    dataList.zipWithIndex.foreach {
+      case (item: JObj, i) if item.contains("category") && item.contains("text") =>
+        val key = (item.get("category").getOrElse(JStr("")), item.get("text").getOrElse(JStr("")))
+        pairPositions(key) = pairPositions.getOrElse(key, Nil) :+ i
+      case _ => ()
+    }
+
+    val bboxPositions = scala.collection.mutable.LinkedHashMap.empty[Vector[JValue], List[Int]]
+    dataList.zipWithIndex.foreach {
+      case (item: JObj, i) =>
+        item.get("bbox") match {
+          case Some(JArr(bbox)) if bbox.nonEmpty =>
+            bboxPositions(bbox) = bboxPositions.getOrElse(bbox, Nil) :+ i
+          case _ => ()
+        }
+      case _ => ()
+    }
+
+    val toRemove = scala.collection.mutable.HashSet.empty[Int]
+    pairPositions.foreach { case (_, pos) if pos.length >= 5 => toRemove ++= pos.tail; case _ => () }
+    bboxPositions.foreach { case (_, pos) if pos.length >= 2 => toRemove ++= pos.tail; case _ => () }
+
+    if (toRemove.isEmpty) (dataList, 0)
+    else {
+      val cleaned = dataList.zipWithIndex.collect { case (item, i) if !toRemove.contains(i) => item }
+      (cleaned, toRemove.size)
+    }
+  }
+}

@@ -1,0 +1,126 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The flagship pipeline: transcripts table → per-turn extraction results.
+  *
+  * Spark shape (SURVEY.md §3.1): parquet/Iceberg scan → column-pruned
+  * projection (pruning happens BEFORE the object stage — a mapPartitions is
+  * a pruning barrier) → `mapPartitions` object stage (regexes and the JSON
+  * parser are instantiated once per partition, the analog of the per-task
+  * parser at demo/demo_gradio_batch.py:976-982) → stable `(conv_id,
+  * turn_idx)` ordering at the sink (dots_ocr/parser.py:292).
+  *
+  * Scale notes (100 TB / 10^12 turns):
+  *  - The per-turn transform is embarrassingly parallel: NO shuffle in the
+  *    hot path. Scan splits are size-bounded by the source
+  *    (maxPartitionBytes / Iceberg split planning), so partitions stay
+  *    balanced regardless of conversation length.
+  *  - A shuffle appears only in conversation-level fan-in (`docFanIn`) and
+  *    in checkpoint-resume's anti join; both are keyed on conv_id where a
+  *    single 1M-turn conversation could skew a reducer — `saltedRepartition`
+  *    plus AQE skew handling cover that (SURVEY.md §4).
+  */
+object Extract {
+
+  /** Read a transcripts parquet/Iceberg dir into the typed input. */
+  def readTranscripts(spark: SparkSession, path: String): Dataset[Turn] = {
+    import spark.implicits._
+    spark.read.parquet(path)
+      .select($"conv_id", $"turn_idx", $"role", $"text", $"tool", $"ts")
+      .as[Turn]
+  }
+
+  /** The core object stage. Input is projected to exactly the needed columns
+    * first so parquet column pruning still applies upstream.
+    */
+  def extract(turns: Dataset[Turn]): Dataset[TurnResult] = {
+    import turns.sparkSession.implicits._
+    turns.mapPartitions { it =>
+      // per-partition closure: compiled patterns in OutputCleaner /
+      // FormatTransformer are JVM-static, shared across tasks in an executor
+      it.map(ExtractTurn.apply)
+    }
+  }
+
+  /** Full pipeline with stable output ordering restored after unordered
+    * parallel execution (O1, parser.py:292): sortWithinPartitions keeps the
+    * sort local (no extra shuffle) — output files are (conv_id, turn_idx)
+    * runs, and any consumer needing a global order uses the same key.
+    */
+  def run(spark: SparkSession, transcriptsPath: String): Dataset[TurnResult] =
+    extract(readTranscripts(spark, transcriptsPath))
+      .sortWithinPartitions("conv_id", "turn_idx")
+
+  /** Explicit skew lever for pathological input layouts (one conversation
+    * dominating a file): spread rows over `parts` partitions by hashing
+    * (conv_id, turn_idx/bucket) — a single huge conversation lands on
+    * ~`len/bucket` partitions instead of one. Order is data-defined, so the
+    * final sort key restores it (SURVEY §7.4.7).
+    */
+  def saltedRepartition(df: DataFrame, parts: Int, bucket: Int = 64): DataFrame =
+    df.repartition(parts, pmod(xxhash64(col("conv_id"),
+      (col("turn_idx") / lit(bucket)).cast("long")), lit(parts)))
+
+  /** Checkpoint-resume (J1/Q5, demo/demo_gradio_batch.py:47-55,1254-1341):
+    * drop turns whose (conv_id, turn_idx) already exist in the results table.
+    * At scale this is a shuffled left-anti join; AQE converts it to broadcast
+    * when the processed-key side is small after pruning.
+    */
+  def resumeFrom(turns: Dataset[Turn], processed: DataFrame): Dataset[Turn] = {
+    import turns.sparkSession.implicits._
+    turns.join(processed.select("conv_id", "turn_idx"),
+      Seq("conv_id", "turn_idx"), "left_anti").as[Turn]
+  }
+
+  /** Conversation fan-in (A3, demo/demo_gradio.py:414-454): pages sorted by
+    * turn_idx, markdown joined with "\n\n---\n\n". Expressed with
+    * sort_array over collected (turn_idx, md) structs — one shuffle, and the
+    * per-group sort is on the collected array, not a global sort.
+    */
+  def docFanIn(results: DataFrame): DataFrame = {
+    results
+      .where(col("md").isNotNull)
+      .groupBy(col("conv_id"))
+      .agg(
+        array_join(
+          transform(
+            sort_array(collect_list(struct(col("turn_idx"), col("md")))),
+            x => x.getField("md")),
+          "\n\n---\n\n").as("doc_md"),
+        count(lit(1)).as("n_pages"))
+  }
+
+  /** Corpus report aggregates (A2, output_cleaner.py:528-597) as one
+    * hash-aggregation pass; partial aggregation keeps the shuffle tiny.
+    */
+  def corpusReport(results: DataFrame): DataFrame = {
+    results.agg(
+      count(lit(1)).as("total_cases"),
+      sum(when(col("status") === "ok" && !col("filtered"), 1L).otherwise(0L)).as("strict_ok"),
+      sum(when(col("filtered"), 1L).otherwise(0L)).as("filtered_cases"),
+      sum(when(col("status") === "error", 1L).otherwise(0L)).as("error_cases"),
+      sum(length(coalesce(col("md"), lit("")))).as("total_md_chars"),
+      sum(col("clean_ops.delimiter_fixes").cast("long")).as("delimiter_fixes"),
+      sum(col("clean_ops.duplicate_dicts_removed").cast("long")).as("duplicate_dicts_removed"),
+      sum(col("clean_ops.bbox_fixes").cast("long")).as("bbox_fixes"),
+      sum(when(col("clean_ops.tail_truncated"), 1L).otherwise(0L)).as("tail_truncations"))
+  }
+
+  /** Per-partition lineage/metrics table (SURVEY §4 checkpoint/lineage):
+    * rows in/out, filtered and error counts per physical partition, written
+    * alongside results for auditability + resume bookkeeping.
+    */
+  def partitionLineage(results: DataFrame): DataFrame = {
+    results
+      .withColumn("part_id", spark_partition_id())
+      .groupBy(col("part_id"))
+      .agg(
+        count(lit(1)).as("rows_out"),
+        sum(when(col("filtered"), 1L).otherwise(0L)).as("filtered_rows"),
+        sum(when(col("status") === "error", 1L).otherwise(0L)).as("error_rows"),
+        min(col("conv_id")).as("min_conv_id"),
+        max(col("conv_id")).as("max_conv_id"))
+  }
+}

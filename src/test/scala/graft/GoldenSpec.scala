@@ -1,0 +1,92 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.pipeline.{Extract, ExtractTurn, ResultJson, Turn}
+
+/** The per-turn text-equality contract (FIXTURES.md §3): run the engine over
+  * transcripts_t1 and require 100% byte equality with the frozen golden
+  * outputs produced by the reference's own Python functions.
+  */
+class GoldenSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder()
+      .master("local[4]")
+      .appName("golden-spec")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  private case class Golden(inputWidth: Int, inputHeight: Int, cellsJson: Option[String],
+                            md: Option[String], mdNohf: Option[String], filtered: Boolean,
+                            spansJson: String)
+
+  test("engine output equals reference golden on every t1 turn") {
+    val expected = spark.read.parquet("src/test/resources/expected_t1.parquet")
+      .collect()
+      .map { r =>
+        (r.getAs[String]("conv_id"), r.getAs[Int]("turn_idx")) -> Golden(
+          r.getAs[Int]("input_width"), r.getAs[Int]("input_height"),
+          Option(r.getAs[String]("cells_json")), Option(r.getAs[String]("md")),
+          Option(r.getAs[String]("md_nohf")), r.getAs[Boolean]("filtered"),
+          r.getAs[String]("spans_json"))
+      }.toMap
+
+    val results = Extract.run(spark, "data/transcripts_t1").collect()
+    assert(results.length === expected.size)
+
+    var mismatches = 0
+    results.foreach { res =>
+      val key = (res.conv_id, res.turn_idx)
+      val g = expected(key)
+      val got = Golden(res.input_width, res.input_height, res.cells_json, res.md,
+        res.md_nohf, res.filtered, ResultJson.spansJson(res.spans))
+      if (got != g) {
+        mismatches += 1
+        if (mismatches <= 5) {
+          info(s"MISMATCH at $key:")
+          info(s"  got:      $got")
+          info(s"  expected: $g")
+        }
+      }
+      assert(res.status === "ok", s"unexpected error row at $key: ${res.error_reason}")
+    }
+    assert(mismatches === 0, s"$mismatches / ${results.length} turns differ from golden")
+  }
+
+  test("output order is data-defined and stable across parallelism (O1)") {
+    val s = spark
+    import s.implicits._
+    val a = Extract.run(spark, "data/transcripts_t1")
+      .select($"conv_id", $"turn_idx").as[(String, Int)].collect().sorted.toVector
+    val turns = Extract.readTranscripts(spark, "data/transcripts_t1")
+    val b = Extract.extract(turns.repartition(13))
+      .select($"conv_id", $"turn_idx").as[(String, Int)].collect().sorted.toVector
+    assert(a === b)
+  }
+
+  test("resume anti-join skips processed keys (J1/Q5)") {
+    val turns = Extract.readTranscripts(spark, "data/transcripts_t1")
+    val processed = turns.limit(100).select("conv_id", "turn_idx")
+    val remaining = Extract.resumeFrom(turns, processed.toDF())
+    assert(remaining.count() === turns.count() - 100)
+  }
+
+  test("PageGeom matches the generator's shape function") {
+    import graft.pipeline.PageGeom
+    // spot-checks derived from the Python fnv1a64 (same algorithm)
+    val (h, w) = PageGeom.of("t1-conv-00000", 0)
+    assert(PageGeom.Shapes.contains((h, w)))
+    assert(PageGeom.of("x", 1) === PageGeom.of("x", 1)) // deterministic
+  }
+}
