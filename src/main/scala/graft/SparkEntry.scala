@@ -3,6 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
+import graft.ops.{DocOps, VectorOps}
 import graft.pipeline.{Extract, ResultJson}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -99,8 +100,54 @@ object SparkEntry {
         .groupBy(col("user_id"))
         .agg(max(col("seq")).as("n_events"), sum(col("value")).as("total_value"))
         .orderBy(col("user_id"))
-    })
+    }),
+
+    // ---- training-data pipeline ops (documents / embeddings) ----
+    "doc_exact_dedup" -> ((s, dir) =>
+      DocOps.exactDedup(docs(s, dir)).orderBy("content_md5")),
+
+    "doc_near_dups" -> ((s, dir) =>
+      DocOps.nearDups(docs(s, dir), tau = 0.5)),
+
+    "doc_jaccard_brute" -> ((s, dir) =>
+      DocOps.bruteForceJaccard(docs(s, dir), tau = 0.5).orderBy("doc_a", "doc_b")),
+
+    "doc_dedup_keepers" -> ((s, dir) =>
+      DocOps.dedupKeepers(docs(s, dir), tau = 0.5).orderBy("doc_id")),
+
+    "doc_simhash_pairs" -> ((s, dir) => // no SQL oracle: engine-specific hash
+      DocOps.simhashPairs(docs(s, dir), maxDist = 3).orderBy("doc_a", "doc_b")),
+
+    "doc_lang_id" -> ((s, dir) => DocOps.langId(docs(s, dir)).orderBy("doc_id")),
+
+    "doc_quality" -> ((s, dir) => DocOps.qualityScore(docs(s, dir)).orderBy("doc_id")),
+
+    "doc_tokens" -> ((s, dir) => DocOps.tokenStats(docs(s, dir)).orderBy("doc_id")),
+
+    "doc_fingerprint" -> ((s, dir) => DocOps.fingerprint(docs(s, dir)).orderBy("doc_id")),
+
+    "doc_winnow" -> ((s, dir) => // no SQL oracle: xxhash64 is Spark-specific
+      DocOps.winnowFingerprints(docs(s, dir)).orderBy("doc_id")),
+
+    "vec_cosine_topk" -> ((s, dir) =>
+      VectorOps.cosineTopK(s.read.parquet(s"$dir/embeddings.parquet"))),
+
+    "vec_ann_lsh" -> ((s, dir) => // no SQL oracle; recall tested in ScalaTest
+      VectorOps.annLsh(s.read.parquet(s"$dir/embeddings.parquet"), dim = 64)),
+
+    "vec_ann_ivf" -> ((s, dir) =>
+      VectorOps.annIvf(s.read.parquet(s"$dir/embeddings.parquet")))
   )
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/documents.parquet")
+
+  /** Shared DuckDB CTE: distinct 3-word shingles + exact pairwise Jaccard
+    * via inverted-index join (the independent ground truth for the MinHash
+    * LSH path).
+    */
+  private val JaccardCte =
+    """WITH words AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w FROM documents), sh AS (SELECT DISTINCT doc_id, s FROM (SELECT doc_id, unnest(list_transform(range(1, len(w)-1), i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s FROM words WHERE len(w) >= 3)), cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id), inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i FROM sh a JOIN sh b USING (s) WHERE a.doc_id < b.doc_id GROUP BY 1, 2), pairs AS (SELECT doc_a, doc_b, i*1.0/(ca.n+cb.n-i) AS jaccard FROM inter JOIN cnt ca ON ca.doc_id = doc_a JOIN cnt cb ON cb.doc_id = doc_b WHERE i*1.0/(ca.n+cb.n-i) >= 0.5)"""
 
   /** ANSI SQL oracles (DuckDB). Column names must match the Spark output. */
   def oracleSql: Map[String, String] = Map(
@@ -123,6 +170,33 @@ object SparkEntry {
       """SELECT l_orderkey, l_partkey, l_quantity FROM (SELECT l_orderkey, l_partkey, l_quantity, row_number() OVER (PARTITION BY l_orderkey ORDER BY l_linenumber, l_partkey, l_suppkey) AS rn FROM lineitem) t WHERE rn = 1 ORDER BY l_orderkey""",
 
     "events_window" ->
-      """SELECT user_id, max(seq) AS n_events, sum(value) AS total_value FROM (SELECT user_id, value, row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS seq FROM events) t GROUP BY user_id ORDER BY user_id"""
+      """SELECT user_id, max(seq) AS n_events, sum(value) AS total_value FROM (SELECT user_id, value, row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS seq FROM events) t GROUP BY user_id ORDER BY user_id""",
+
+    "doc_exact_dedup" ->
+      """SELECT md5(text) AS content_md5, min(doc_id) AS keeper_doc_id, count(*) AS n_copies FROM documents GROUP BY 1 ORDER BY 1""",
+
+    "doc_near_dups" ->
+      s"""$JaccardCte SELECT doc_a, doc_b, jaccard FROM pairs ORDER BY doc_a, doc_b""",
+
+    "doc_jaccard_brute" ->
+      s"""$JaccardCte SELECT doc_a, doc_b, jaccard FROM pairs ORDER BY doc_a, doc_b""",
+
+    "doc_dedup_keepers" ->
+      s"""$JaccardCte SELECT d.doc_id, coalesce(min(p.doc_a), d.doc_id) AS keeper_doc_id FROM documents d LEFT JOIN pairs p ON p.doc_b = d.doc_id GROUP BY d.doc_id ORDER BY d.doc_id""",
+
+    "doc_lang_id" ->
+      """SELECT doc_id, latin_chars, cjk_chars, cyr_chars, arab_chars, CASE WHEN cjk_chars >= greatest(latin_chars, cyr_chars, arab_chars) AND cjk_chars > 0 THEN 'cjk' WHEN cyr_chars >= greatest(latin_chars, cjk_chars, arab_chars) AND cyr_chars > 0 THEN 'cyrillic' WHEN arab_chars >= greatest(latin_chars, cjk_chars, cyr_chars) AND arab_chars > 0 THEN 'arabic' WHEN latin_chars > 0 THEN 'latin' ELSE 'unknown' END AS script FROM (SELECT doc_id, length(text) - length(regexp_replace(text, '[A-Za-z]', '', 'g')) AS latin_chars, length(text) - length(regexp_replace(text, '[\x{4E00}-\x{9FFF}]', '', 'g')) AS cjk_chars, length(text) - length(regexp_replace(text, '[\x{0400}-\x{04FF}]', '', 'g')) AS cyr_chars, length(text) - length(regexp_replace(text, '[\x{0600}-\x{06FF}]', '', 'g')) AS arab_chars FROM documents) t ORDER BY doc_id""",
+
+    "doc_quality" ->
+      """SELECT doc_id, n_chars_m, n_words, punct_chars, digit_chars, stop_words, punct_ratio, stop_ratio, least(1.0, n_words/200.0) * (1.0 - least(1.0, punct_ratio * 5.0)) * (0.5 + 0.5 * least(1.0, stop_ratio * 4.0)) AS quality_score FROM (SELECT doc_id, n_chars_m, n_words, punct_chars, digit_chars, stop_words, punct_chars*1.0/n_chars_m AS punct_ratio, CASE WHEN n_words = 0 THEN 0.0 ELSE stop_words*1.0/n_words END AS stop_ratio FROM (SELECT doc_id, length(text) AS n_chars_m, CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_words, length(text) - length(regexp_replace(text, '[!-/:-@\[-`{-~]', '', 'g')) AS punct_chars, length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS digit_chars, len(list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x IN ('the','a','an','of','and','to','in','is','it','that','for','on','with','as','was','at','by','be'))) AS stop_words FROM documents) t1) t2 ORDER BY doc_id""",
+
+    "doc_tokens" ->
+      """SELECT doc_id, CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS ws_tokens, len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS bpe_ish_tokens, length(text) AS n_chars_m FROM documents ORDER BY doc_id""",
+
+    "doc_fingerprint" ->
+      """SELECT doc_id, md5(text) AS content_md5, substr(md5(text), 1, 16) AS fp64_hex FROM documents ORDER BY doc_id""",
+
+    "vec_cosine_topk" ->
+      """WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings), q AS (SELECT vec_id AS query_id, e AS qe FROM base WHERE vec_id < 10), scored AS (SELECT query_id, vec_id, list_cosine_similarity(qe, e) AS c FROM base, q WHERE vec_id != query_id), r AS (SELECT query_id, vec_id, c, row_number() OVER (PARTITION BY query_id ORDER BY c DESC, vec_id) AS rank FROM scored) SELECT query_id, rank, vec_id AS neighbor_id, round(c, 6) AS cosine FROM r WHERE rank <= 5 ORDER BY query_id, rank"""
   )
 }

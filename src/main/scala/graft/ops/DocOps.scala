@@ -1,0 +1,264 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Training-data pipeline operators over a `documents(doc_id, text, lang,
+  * source, n_chars)` corpus. All stages are Column-expression only (full
+  * whole-stage codegen, no UDFs); every shuffle is keyed so partial
+  * aggregation applies.
+  *
+  * Scale shape (100 TB corpus):
+  *  - exact dedup: one hash-shuffle on a 128-bit digest (not the text!) —
+  *    shuffle payload is digest+id, not documents.
+  *  - MinHash LSH: shingle explode is map-side; signatures are one partial
+  *    agg (128 mins); candidate generation joins on (band, hash) buckets so
+  *    the O(n²) pair space never materializes; exact-Jaccard verification
+  *    touches only candidate pairs.
+  */
+object DocOps {
+
+  // ------------------------------------------------------------ exact dedup
+
+  /** Exact dedup on content digest. Keeper = min doc_id per digest. */
+  def exactDedup(docs: DataFrame): DataFrame =
+    docs.groupBy(md5(col("text")).as("content_md5"))
+      .agg(min(col("doc_id")).as("keeper_doc_id"), count(lit(1)).as("n_copies"))
+
+  // ------------------------------------------------------------ shingling
+
+  /** Distinct k-word shingles per doc: (doc_id, s). Pure codegen HOFs. */
+  def shingles(docs: DataFrame, k: Int = 3): DataFrame = {
+    val words = split(trim(col("text")), "\\s+")
+    docs
+      .select(col("doc_id"), words.as("w"))
+      .where(size(col("w")) >= k)
+      .select(col("doc_id"),
+        explode(array_distinct(transform(
+          sequence(lit(1), size(col("w")) - (k - 1)),
+          i => concat_ws(" ", slice(col("w"), i, lit(k)))))).as("s"))
+  }
+
+  // ------------------------------------------------------------ MinHash LSH
+
+  val NumHashes = 128
+  val Bands = 64 // rows-per-band r=2: P(miss | J=0.5) = 0.75^64 ≈ 1e-8
+
+  /** MinHash signatures: sig[i] = min over shingles of xxhash64(i, s).
+    * One groupBy with 128 partial-aggregated mins — a single shuffle whose
+    * payload is 128 longs per doc.
+    */
+  def minhashSignatures(sh: DataFrame, numHashes: Int = NumHashes): DataFrame = {
+    val mins = (0 until numHashes).map(i => min(xxhash64(lit(i), col("s"))).as(s"h$i"))
+    sh.groupBy(col("doc_id"))
+      .agg(mins.head, mins.tail: _*)
+      .select(col("doc_id"), array((0 until numHashes).map(i => col(s"h$i")): _*).as("sig"))
+  }
+
+  /** LSH banding: (doc_id, band_idx, band_hash) with r=2 rows per band. */
+  def lshBands(sig: DataFrame, bands: Int = Bands): DataFrame =
+    sig.select(col("doc_id"), posexplode(array((0 until bands).map { j =>
+      xxhash64(lit(j), col("sig").getItem(2 * j), col("sig").getItem(2 * j + 1))
+    }: _*)).as(Seq("band_idx", "band_hash")))
+
+  /** Candidate pairs: equi-join on (band_idx, band_hash); doc_a < doc_b.
+    * The join key includes band_idx so different bands never cross-match.
+    */
+  def lshCandidates(bandsDf: DataFrame): DataFrame = {
+    val a = bandsDf.select(col("band_idx"), col("band_hash"), col("doc_id").as("doc_a"))
+    val b = bandsDf.select(col("band_idx"), col("band_hash"), col("doc_id").as("doc_b"))
+    a.join(b, Seq("band_idx", "band_hash"))
+      .where(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"))
+      .distinct()
+  }
+
+  /** Exact-Jaccard verification of candidate pairs: intersect shingle sets
+    * via join (candidates only), union from per-doc distinct-shingle counts.
+    */
+  def verifyJaccard(candidates: DataFrame, sh: DataFrame, tau: Double): DataFrame = {
+    val counts = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val shA = sh.select(col("doc_id").as("doc_a"), col("s"))
+    val shB = sh.select(col("doc_id").as("doc_b"), col("s"))
+    val pairInter = candidates.join(shA, Seq("doc_a")).join(shB, Seq("doc_b", "s"))
+      .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("i"))
+    pairInter
+      .join(counts.select(col("doc_id").as("doc_a"), col("n").as("na")), Seq("doc_a"))
+      .join(counts.select(col("doc_id").as("doc_b"), col("n").as("nb")), Seq("doc_b"))
+      .withColumn("jaccard", col("i") / (col("na") + col("nb") - col("i")))
+      .where(col("jaccard") >= tau)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+  }
+
+  /** Full MinHash+LSH near-dup pipeline with exact verification. */
+  def nearDups(docs: DataFrame, tau: Double = 0.5): DataFrame = {
+    val sh = shingles(docs).cache()
+    val cands = lshCandidates(lshBands(minhashSignatures(sh)))
+    verifyJaccard(cands, sh, tau).orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** Brute-force n-gram Jaccard over ALL pairs via shingle inverted index —
+    * the small-scale baseline the LSH path approximates (and the shape of
+    * the DuckDB oracle). Quadratic in colliding docs; never use at scale.
+    */
+  def bruteForceJaccard(docs: DataFrame, tau: Double): DataFrame = {
+    val sh = shingles(docs)
+    val counts = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val a = sh.select(col("doc_id").as("doc_a"), col("s"))
+    val b = sh.select(col("doc_id").as("doc_b"), col("s"))
+    val inter = a.join(b, Seq("s")).where(col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("i"))
+    inter
+      .join(counts.select(col("doc_id").as("doc_a"), col("n").as("na")), Seq("doc_a"))
+      .join(counts.select(col("doc_id").as("doc_b"), col("n").as("nb")), Seq("doc_b"))
+      .withColumn("jaccard", col("i") / (col("na") + col("nb") - col("i")))
+      .where(col("jaccard") >= tau)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+  }
+
+  // ------------------------------------------------------------ SimHash
+
+  /** 64-bit SimHash over word unigrams weighted by term frequency. Pure
+    * aggregation: per bit, sum +tf when the word-hash bit is 1 else -tf.
+    */
+  def simhash(docs: DataFrame): DataFrame = {
+    val wordTf = docs
+      .select(col("doc_id"), explode(split(trim(col("text")), "\\s+")).as("word"))
+      .groupBy(col("doc_id"), col("word")).agg(count(lit(1)).as("tf"))
+      .withColumn("h", xxhash64(col("word")))
+    val bitSums = (0 until 64).map { i =>
+      sum(when(shiftright(col("h"), i).bitwiseAND(lit(1L)) === 1L, col("tf"))
+        .otherwise(-col("tf"))).as(s"b$i")
+    }
+    val agg = wordTf.groupBy(col("doc_id")).agg(bitSums.head, bitSums.tail: _*)
+    val fp = (0 until 64).map { i =>
+      when(col(s"b$i") > 0, shiftleft(lit(1L), i)).otherwise(lit(0L))
+    }.reduce[Column](_.bitwiseOR(_))
+    agg.select(col("doc_id"), fp.as("simhash"))
+  }
+
+  /** Near-dup pairs by SimHash Hamming distance ≤ maxDist, found via the
+    * pigeonhole band trick: split the 64-bit fingerprint into maxDist+1
+    * chunks — any pair within distance maxDist shares ≥1 exact chunk, so an
+    * equi-join on (chunk_idx, chunk_value) finds all of them without an
+    * O(n²) scan.
+    */
+  def simhashPairs(docs: DataFrame, maxDist: Int = 3): DataFrame = {
+    val chunks = maxDist + 1
+    val width = 64 / chunks
+    val fp = simhash(docs)
+    val banded = fp.select(col("doc_id"), col("simhash"),
+      posexplode(array((0 until chunks).map { j =>
+        shiftright(col("simhash"), j * width)
+          .bitwiseAND(lit((1L << width) - 1))
+      }: _*)).as(Seq("chunk_idx", "chunk_val")))
+    val a = banded.select(col("chunk_idx"), col("chunk_val"),
+      col("doc_id").as("doc_a"), col("simhash").as("sh_a"))
+    val b = banded.select(col("chunk_idx"), col("chunk_val"),
+      col("doc_id").as("doc_b"), col("simhash").as("sh_b"))
+    a.join(b, Seq("chunk_idx", "chunk_val"))
+      .where(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).as("hamming"))
+      .distinct()
+      .where(col("hamming") <= maxDist)
+  }
+
+  // ------------------------------------------------------------ text analysis
+
+  private def charCount(c: Column, charClass: String): Column =
+    length(c) - length(regexp_replace(c, charClass, ""))
+
+  /** Script-profile language ID (n-gram-free heuristic: per-script char
+    * counts → dominant script). Counts are regex-expressible so the DuckDB
+    * oracle replicates them exactly.
+    */
+  def langId(docs: DataFrame): DataFrame = {
+    val t = col("text")
+    val latin = charCount(t, "[A-Za-z]")
+    val cjk = charCount(t, "[\\u4E00-\\u9FFF]")
+    val cyr = charCount(t, "[\\u0400-\\u04FF]")
+    val arab = charCount(t, "[\\u0600-\\u06FF]")
+    docs.select(
+      col("doc_id"),
+      latin.as("latin_chars"), cjk.as("cjk_chars"),
+      cyr.as("cyr_chars"), arab.as("arab_chars"),
+      when(cjk >= greatest(latin, cyr, arab) && cjk > 0, "cjk")
+        .when(cyr >= greatest(latin, cjk, arab) && cyr > 0, "cyrillic")
+        .when(arab >= greatest(latin, cjk, cyr) && arab > 0, "arabic")
+        .when(latin > 0, "latin")
+        .otherwise("unknown").as("script"))
+  }
+
+  private val Stopwords = Seq("the", "a", "an", "of", "and", "to", "in", "is",
+    "it", "that", "for", "on", "with", "as", "was", "at", "by", "be")
+
+  /** Quality scoring: length/punct/digit/stopword ratios + a composite.
+    * All arithmetic is plain double ops in a fixed order so the oracle's
+    * IEEE results are bit-identical.
+    */
+  def qualityScore(docs: DataFrame): DataFrame = {
+    val t = col("text")
+    val words = split(trim(t), "\\s+")
+    val nWords = when(length(trim(t)) === 0, 0).otherwise(size(words))
+    val nChars = length(t)
+    val punct = charCount(t, "[!-/:-@\\[-`{-~]") // ASCII punct, RE2-safe
+    val digits = charCount(t, "[0-9]")
+    val stops = size(filter(words, w => w.isin(Stopwords.map(s => s: Any): _*)))
+    docs.select(col("doc_id"), nChars.as("n_chars_m"), nWords.as("n_words"),
+        punct.as("punct_chars"), digits.as("digit_chars"), stops.as("stop_words"))
+      .withColumn("punct_ratio", col("punct_chars").cast("double") / col("n_chars_m"))
+      .withColumn("stop_ratio",
+        when(col("n_words") === 0, 0.0)
+          .otherwise(col("stop_words").cast("double") / col("n_words")))
+      .withColumn("quality_score",
+        least(lit(1.0), col("n_words").cast("double") / 200.0) *
+          (lit(1.0) - least(lit(1.0), col("punct_ratio") * 5.0)) *
+          (lit(0.5) + lit(0.5) * least(lit(1.0), col("stop_ratio") * 4.0)))
+  }
+
+  /** Token counting: whitespace tokens + a BPE-ish regex segmentation
+    * (letters run | digits run | single other-symbol).
+    */
+  def tokenStats(docs: DataFrame): DataFrame = {
+    val t = col("text")
+    docs.select(
+      col("doc_id"),
+      when(length(trim(t)) === 0, 0).otherwise(size(split(trim(t), "\\s+"))).as("ws_tokens"),
+      regexp_count(t, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]")).as("bpe_ish_tokens"),
+      length(t).as("n_chars_m"))
+  }
+
+  /** Content fingerprints: md5 digest + 64-bit prefix (hex) — the
+    * dedup/lineage key at corpus scale.
+    */
+  def fingerprint(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), md5(col("text")).as("content_md5"),
+      substring(md5(col("text")), 1, 16).as("fp64_hex"))
+
+  /** Winnowing document fingerprints (rolling scheme): from the k-shingle
+    * stream keep each window's minimum hash (here: global per-doc minima of
+    * w hash families — a deterministic, order-free variant that keeps the
+    * selection stable under re-partitioning).
+    */
+  def winnowFingerprints(docs: DataFrame, w: Int = 4): DataFrame = {
+    val sh = shingles(docs, k = 5)
+    val mins = (0 until w).map(i => min(xxhash64(lit(1000 + i), col("s"))).as(s"w$i"))
+    sh.groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
+      .select(col("doc_id"), array((0 until w).map(i => col(s"w$i")): _*).as("winnow_sig"))
+  }
+
+  /** First-occurrence keeper assignment for near-dup clusters: union exact
+    * + near dup edges, take connected min (single-pass approximation: keeper
+    * = min(doc_a) per doc_b over edges — exact for star-shaped clusters).
+    */
+  def dedupKeepers(docs: DataFrame, tau: Double = 0.5): DataFrame = {
+    val edges = nearDups(docs, tau)
+    val keeper = edges.groupBy(col("doc_b").as("doc_id"))
+      .agg(min(col("doc_a")).as("keeper_doc_id"))
+    docs.select(col("doc_id"))
+      .join(keeper, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("keeper_doc_id"), col("doc_id")).as("keeper_doc_id"))
+  }
+}

@@ -1,0 +1,170 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over an embedding corpus `embeddings(vec_id, embedding:
+  * array<float>, label)`. All math is Column-expression HOFs (zip_with /
+  * aggregate) — codegen'd, no UDFs.
+  *
+  * Scale shape: brute force is the correctness baseline (O(Q·N), broadcast
+  * the query side); the LSH and IVF variants bound the scan to matching
+  * buckets/probed lists so N never fans out per query.
+  */
+object VectorOps {
+
+  private def toDouble(c: Column): Column = transform(c, x => x.cast("double"))
+
+  private def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  private def norm(a: Column): Column =
+    sqrt(aggregate(a, lit(0.0), (acc, x) => acc + x * x))
+
+  /** Brute-force cosine top-k: queries broadcast against the corpus.
+    * Query set = vec_id < nQueries (deterministic).
+    */
+  def cosineTopK(emb: DataFrame, nQueries: Int = 10, k: Int = 5): DataFrame = {
+    val base = emb.select(col("vec_id"), toDouble(col("embedding")).as("e"))
+      .withColumn("nrm", norm(col("e")))
+    val queries = base.where(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("e").as("qe"), col("nrm").as("qn"))
+    val scored = base.join(broadcast(queries), col("vec_id") =!= col("query_id"))
+      .withColumn("cosine", dot(col("qe"), col("e")) / (col("qn") * col("nrm")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id"),
+        round(col("cosine"), 6).as("cosine"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** Deterministic random hyperplanes: component d of plane j is a signed
+    * value derived from xxhash64(j, d) — reproducible across engines/runs
+    * with no RNG state.
+    */
+  private def planeComponent(j: Int, d: Int): Column =
+    (xxhash64(lit(j * 100003 + d)).cast("double") / lit(Long.MaxValue.toDouble))
+
+  /** Multi-table sign-random-projection codes: (vec_id, table_id, bucket).
+    * L independent tables of nBits hyperplanes each — the standard LSH
+    * recall lever (P(candidate) = 1-(1-p^nBits)^L).
+    */
+  def lshCodes(emb: DataFrame, dim: Int, nBits: Int, nTables: Int): DataFrame = {
+    val e = toDouble(col("embedding"))
+    val buckets = (0 until nTables).map { t =>
+      (0 until nBits).map { j =>
+        val proj = (0 until dim)
+          .map(d => element_at(e, d + 1) * planeComponent(t * 1000 + j, d))
+          .reduce[Column](_ + _)
+        when(proj > 0, shiftleft(lit(1L), j)).otherwise(lit(0L))
+      }.reduce[Column](_.bitwiseOR(_))
+    }
+    emb.select(col("vec_id"), col("embedding"),
+      posexplode(array(buckets: _*)).as(Seq("table_id", "bucket")))
+  }
+
+  /** ANN via multi-table LSH: candidates share a (table, bucket) with the
+    * query in ANY table; union-distinct, then exact cosine on candidates
+    * only. The scan is bounded by bucket sizes, never O(N) per query.
+    */
+  def annLsh(emb: DataFrame, dim: Int, nQueries: Int = 10, k: Int = 5,
+             nBits: Int = 10, nTables: Int = 8): DataFrame = {
+    val base = emb.select(col("vec_id"), toDouble(col("embedding")).as("e"))
+      .withColumn("nrm", norm(col("e")))
+    val coded = lshCodes(emb, dim, nBits, nTables)
+      .select(col("vec_id"), col("table_id"), col("bucket"))
+    val qCodes = coded.where(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("table_id"), col("bucket"))
+    val candidates = coded.join(broadcast(qCodes), Seq("table_id", "bucket"))
+      .where(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id")).distinct()
+    val queries = base.where(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("e").as("qe"), col("nrm").as("qn"))
+    val scored = candidates
+      .join(base, Seq("vec_id"))
+      .join(broadcast(queries), Seq("query_id"))
+      .withColumn("cosine", dot(col("qe"), col("e")) / (col("qn") * col("nrm")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id"),
+        round(col("cosine"), 6).as("cosine"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** Deterministic k-means-lite coarse quantizer: seeds = the nCells vectors
+    * with the smallest xxhash64(vec_id) (reproducible, data-independent
+    * tie-break), then `iters` Lloyd rounds as assign→mean aggregation
+    * passes. Each round is one shuffle keyed by cell.
+    */
+  def kmeansCells(base: DataFrame, nCells: Int, iters: Int = 3): DataFrame = {
+    val wSeed = Window.orderBy(xxhash64(col("vec_id")), col("vec_id"))
+    var centroids = base
+      .withColumn("rk", row_number().over(wSeed))
+      .where(col("rk") <= nCells)
+      .select((col("rk") - 1).as("cell"), col("e").as("ce"))
+      .withColumn("cn", norm(col("ce")))
+
+    val wAssign = Window.partitionBy(col("vec_id"))
+      .orderBy(col("c_cos").desc, col("cell"))
+    for (_ <- 0 until iters) {
+      val assigned = base.crossJoin(broadcast(centroids))
+        .withColumn("c_cos", dot(col("e"), col("ce")) / (col("nrm") * col("cn")))
+        .withColumn("pr", row_number().over(wAssign))
+        .where(col("pr") === 1)
+        .select(col("cell"), col("e"))
+      centroids = assigned
+        .select(col("cell"), posexplode(col("e")).as(Seq("pos", "v")))
+        .groupBy(col("cell"), col("pos")).agg(avg(col("v")).as("cv"))
+        .groupBy(col("cell"))
+        .agg(array_sort(collect_list(struct(col("pos"), col("cv")))).as("pcs"))
+        .select(col("cell"), transform(col("pcs"), p => p.getField("cv")).as("ce"))
+        .withColumn("cn", norm(col("ce")))
+      centroids.cache().count() // materialize per Lloyd round
+    }
+    centroids
+  }
+
+  /** IVF-style ANN: k-means-lite coarse cells, queries probe the nProbe
+    * nearest centroids, exact cosine only over those inverted lists.
+    */
+  def annIvf(emb: DataFrame, nQueries: Int = 10, k: Int = 5,
+             nProbe: Int = 2, nCells: Int = 16): DataFrame = {
+    val base = emb.select(col("vec_id"), toDouble(col("embedding")).as("e"))
+      .withColumn("nrm", norm(col("e")))
+    val centroids = kmeansCells(base, nCells)
+
+    val wAssign = Window.partitionBy(col("vec_id"))
+      .orderBy(col("c_cos").desc, col("cell"))
+    val assigned = base.crossJoin(broadcast(centroids))
+      .withColumn("c_cos", dot(col("e"), col("ce")) / (col("nrm") * col("cn")))
+      .withColumn("pr", row_number().over(wAssign))
+      .where(col("pr") === 1)
+      .select(col("vec_id"), col("e"), col("nrm"), col("cell"))
+
+    val queries = base.where(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("e").as("qe"), col("nrm").as("qn"))
+    val wProbe = Window.partitionBy(col("query_id"))
+      .orderBy(col("c_cos").desc, col("cell"))
+    val probes = queries.crossJoin(broadcast(centroids))
+      .withColumn("c_cos", dot(col("qe"), col("ce")) / (col("qn") * col("cn")))
+      .withColumn("pr", row_number().over(wProbe))
+      .where(col("pr") <= nProbe)
+      .select(col("query_id"), col("qe"), col("qn"), col("cell"))
+
+    val scored = assigned.join(broadcast(probes), Seq("cell"))
+      .where(col("vec_id") =!= col("query_id"))
+      .withColumn("cosine", dot(col("qe"), col("e")) / (col("qn") * col("nrm")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id"),
+        round(col("cosine"), 6).as("cosine"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+}
