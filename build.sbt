@@ -26,5 +26,12 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "32g")}",
+  // batch-throughput GC: the object stage allocates heavily; ParallelGC
+  // beats G1 for this all-cores batch shape
+  s"-XX:+${sys.env.getOrElse("SPARK_GRAFT_GC", "UseParallelGC")}",
+  // Catalyst codegen emits classes per plan; the default 240MB code cache
+  // fills over a multi-session benchmark run and the JIT silently stops
+  // compiling (5-50x slowdowns on later queries)
+  "-XX:ReservedCodeCacheSize=1g",
 )

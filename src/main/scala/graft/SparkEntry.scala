@@ -51,6 +51,28 @@ object SparkEntry {
     "doc_fanin" -> ((s, _) =>
       Extract.docFanIn(Extract.run(s, TranscriptsT2).toDF()).orderBy("conv_id")),
 
+    // S1: turn-range pushdown — the filter reaches the parquet scan
+    // (PushedFilters) BEFORE the object stage, mirroring the reference's
+    // page-range clamp (doc_utils.py:45-58)
+    "extract_range" -> ((s, _) => {
+      import s.implicits._
+      Extract.extract(
+        Extract.readTranscripts(s, TranscriptsT2)
+          .where($"turn_idx".between(2, 5)))
+        .map(r => (r.conv_id, r.turn_idx, r.cells_json, r.md, r.filtered))
+        .toDF("conv_id", "turn_idx", "cells_json", "md", "filtered")
+        .orderBy("conv_id", "turn_idx")
+    }),
+
+    // K7: eval md selection — nohf preferred (tools/eval_omnidocbench.md:144-151)
+    "eval_md" -> ((s, _) => {
+      import s.implicits._
+      Extract.run(s, TranscriptsT2)
+        .map(r => (r.conv_id, r.turn_idx, r.md_nohf.orElse(r.md).orNull))
+        .toDF("conv_id", "turn_idx", "eval_md")
+        .orderBy("conv_id", "turn_idx")
+    }),
+
     // ---- relational operators over the sfDir tables ----
     // A2-style hash aggregation with partial aggregation (TPC-H Q1 shape)
     "q1_agg" -> ((s, dir) => {
@@ -159,6 +181,12 @@ object SparkEntry {
 
     "doc_fanin" ->
       s"""SELECT conv_id, string_agg(md, e'\\n\\n---\\n\\n' ORDER BY turn_idx) AS doc_md, count(*) AS n_pages FROM read_parquet('$ExpectedT2') WHERE md IS NOT NULL GROUP BY conv_id ORDER BY conv_id""",
+
+    "extract_range" ->
+      s"""SELECT conv_id, turn_idx, cells_json, md, filtered FROM read_parquet('$ExpectedT2') WHERE turn_idx BETWEEN 2 AND 5 ORDER BY conv_id, turn_idx""",
+
+    "eval_md" ->
+      s"""SELECT conv_id, turn_idx, coalesce(md_nohf, md) AS eval_md FROM read_parquet('$ExpectedT2') ORDER BY conv_id, turn_idx""",
 
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty, sum(l_extendedprice) AS sum_base_price, sum(l_extendedprice * (1 - l_discount)) AS sum_disc_price, avg(l_discount) AS avg_disc, count(*) AS count_order FROM lineitem GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""",

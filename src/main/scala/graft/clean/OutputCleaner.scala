@@ -2,7 +2,7 @@ package graft.clean
 
 import java.util.regex.Pattern
 
-import graft.json.{JArr, JInt, JNull, JObj, JStr, JValue, PyJson, PyJsonParseException}
+import graft.json.{JArr, JBig, JInt, JNull, JObj, JStr, JValue, PyJson, PyJsonParseException}
 import graft.text.Py
 
 /** Per-row lineage counters for the repair ladder — the A1 "clean_ops"
@@ -219,7 +219,8 @@ object OutputCleaner {
       val textM = TextPrefixPattern.matcher(text)
       val textContent = if (textM.find()) textM.group(1) else ""
       var fixed = JObj(Vector.empty)
-        .put("bbox", JArr(coords.map(c => JInt(c): JValue)))
+        .put("bbox", JArr(coords.map(c =>
+          (if (c.isValidLong) JInt(c.toLong) else JBig(c)): JValue)))
         .put("category", JStr(category))
       if (textContent.nonEmpty) fixed = fixed.put("text", JStr(textContent))
       Some(Vector(fixed))

@@ -41,12 +41,22 @@ object VectorOps {
       .orderBy(col("query_id"), col("rank"))
   }
 
-  /** Deterministic random hyperplanes: component d of plane j is a signed
-    * value derived from xxhash64(j, d) — reproducible across engines/runs
-    * with no RNG state.
+  /** Deterministic hyperplane components via splitmix64 — reproducible
+    * across runs with no RNG state; materialized as one nested array
+    * LITERAL so the projection is a pair of HOF loops, not dim×bits×tables
+    * scalar expressions (which would explode codegen size).
     */
-  private def planeComponent(j: Int, d: Int): Column =
-    (xxhash64(lit(j * 100003 + d)).cast("double") / lit(Long.MaxValue.toDouble))
+  private def splitmix64(seed: Long): Long = {
+    var z = seed + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+
+  private def planes(dim: Int, nBits: Int, nTables: Int): Seq[Seq[Double]] =
+    (0 until nTables * nBits).map { j =>
+      (0 until dim).map(d => splitmix64(j.toLong * 100003 + d).toDouble / Long.MaxValue)
+    }
 
   /** Multi-table sign-random-projection codes: (vec_id, table_id, bucket).
     * L independent tables of nBits hyperplanes each — the standard LSH
@@ -54,16 +64,15 @@ object VectorOps {
     */
   def lshCodes(emb: DataFrame, dim: Int, nBits: Int, nTables: Int): DataFrame = {
     val e = toDouble(col("embedding"))
-    val buckets = (0 until nTables).map { t =>
-      (0 until nBits).map { j =>
-        val proj = (0 until dim)
-          .map(d => element_at(e, d + 1) * planeComponent(t * 1000 + j, d))
-          .reduce[Column](_ + _)
-        when(proj > 0, shiftleft(lit(1L), j)).otherwise(lit(0L))
-      }.reduce[Column](_.bitwiseOR(_))
-    }
+    val planesLit = typedLit(planes(dim, nBits, nTables))
+    // proj[i] = <e, plane_i>; bucket_t = bits (t*nBits..t*nBits+nBits-1)
+    // folded as acc*2 + sign-bit — all array HOFs, O(1) expression tree.
+    val proj = transform(planesLit, p => dot(e, p))
+    val codes = transform(sequence(lit(0), lit(nTables - 1)), t =>
+      aggregate(slice(proj, t * lit(nBits) + 1, lit(nBits)), lit(0L),
+        (acc, x) => acc * 2 + when(x > 0, 1L).otherwise(0L)))
     emb.select(col("vec_id"), col("embedding"),
-      posexplode(array(buckets: _*)).as(Seq("table_id", "bucket")))
+      posexplode(codes).as(Seq("table_id", "bucket")))
   }
 
   /** ANN via multi-table LSH: candidates share a (table, bucket) with the

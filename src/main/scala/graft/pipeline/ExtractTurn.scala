@@ -2,7 +2,7 @@ package graft.pipeline
 
 import graft.clean.{CleanOps, OutputCleaner}
 import graft.geom.SmartResize
-import graft.json.{JArr, JBool, JInt, JNull, JNum, JObj, JStr, JValue, PyJson}
+import graft.json.{JArr, JBig, JBool, JInt, JNull, JNum, JObj, JStr, JValue, PyJson}
 import graft.render.FormatTransformer
 import graft.text.Py
 
@@ -112,6 +112,7 @@ object ExtractTurn {
   /** Python float(x) for the values a bbox coordinate can hold. */
   private def pyFloat(v: JValue): Double = v match {
     case JInt(i)  => i.toDouble
+    case JBig(i)  => i.toDouble
     case JNum(d)  => d
     case JBool(b) => if (b) 1.0 else 0.0
     case JStr(s0) =>
@@ -175,6 +176,7 @@ object ExtractTurn {
   private def pyStr(v: JValue): String = v match {
     case JStr(s)  => s
     case JInt(i)  => i.toString
+    case JBig(i)  => i.toString
     case JNum(d)  => Py.floatRepr(d)
     case JBool(b) => if (b) "True" else "False"
     case JNull    => "None"
@@ -215,8 +217,7 @@ object ExtractTurn {
                 filtered = false, status = "ok", error_reason = None,
                 spans = Nil, clean_ops = CleanOpsRow.from(CleanOps.none))
             } else {
-              val (md, spans) = FormatTransformer.layoutJsonToMd(rescaled, noPageHf = false)
-              val (mdNohf, _) = FormatTransformer.layoutJsonToMd(rescaled, noPageHf = true)
+              val (md, spans, mdNohf) = FormatTransformer.layoutJsonToMdBoth(rescaled)
               TurnResult(t.conv_id, t.turn_idx, t.role, t.tool, origW, origH, iw, ih,
                 cells_json = Some(cellsJson), md = Some(md), md_nohf = Some(mdNohf),
                 filtered = false, status = "ok", error_reason = None,

@@ -106,6 +106,29 @@ object FormatTransformer {
   def picturePlaceholder(x1: Int, y1: Int, x2: Int, y2: Int): String =
     s"![](bbox:$x1,$y1,$x2,$y2)"
 
+  /** One rendered cell: (category, piece). The render is per-cell pure, so
+    * the full and nohf markdowns share one render pass.
+    */
+  private def renderPieces(cells: Vector[JValue]): Vector[(String, String)] =
+    cells.map { cv =>
+      val cell = cv.asInstanceOf[JObj]
+      val category = cell.get("category") match {
+        case Some(JStr(c)) => c
+        case other => throw new IllegalArgumentException(s"non-string category: $other")
+      }
+      val piece = category match {
+        case "Picture" =>
+          val JArr(b) = (cell.get("bbox"): @unchecked).get
+          val Seq(x1, y1, x2, y2) = b.map(v => jvToInt(v))
+          picturePlaceholder(x1, y1, x2, y2)
+        case "Formula" =>
+          getFormulaInMarkdown(textOf(cell))
+        case _ =>
+          cleanText(textOf(cell))
+      }
+      (category, piece)
+    }
+
   /** format_transformer.py:145-180 `layoutjson2md` + the span-offset
     * accumulation (SURVEY §2.5 R3). Cells render IN ARRAY ORDER (reading
     * order); pieces join with "\n\n". Spans are recorded only for rendered
@@ -114,27 +137,26 @@ object FormatTransformer {
     * Cells here are the post-rescale JObj cells: bbox is a 4-int JSON array
     * (int(coord) cast at :163 is a no-op for them).
     */
-  def layoutJsonToMd(cells: Vector[JValue], noPageHf: Boolean): (String, Vector[Span]) = {
+  def layoutJsonToMd(cells: Vector[JValue], noPageHf: Boolean): (String, Vector[Span]) =
+    assemble(renderPieces(cells), noPageHf)
+
+  /** Both variants from ONE render pass (the hot-path form). Returns
+    * (md, spans-of-md, mdNohf).
+    */
+  def layoutJsonToMdBoth(cells: Vector[JValue]): (String, Vector[Span], String) = {
+    val pieces = renderPieces(cells)
+    val (md, spans) = assemble(pieces, noPageHf = false)
+    val (mdNohf, _) = assemble(pieces, noPageHf = true)
+    (md, spans, mdNohf)
+  }
+
+  private def assemble(pieces: Vector[(String, String)],
+                       noPageHf: Boolean): (String, Vector[Span]) = {
     val sb = new java.lang.StringBuilder
     val spans = Vector.newBuilder[Span]
     var first = true
-    cells.zipWithIndex.foreach { case (cv, i) =>
-      val cell = cv.asInstanceOf[JObj]
-      val category = cell.get("category") match {
-        case Some(JStr(c)) => c
-        case other => throw new IllegalArgumentException(s"non-string category: $other")
-      }
+    pieces.zipWithIndex.foreach { case ((category, piece), i) =>
       if (!(noPageHf && (category == "Page-header" || category == "Page-footer"))) {
-        val piece = category match {
-          case "Picture" =>
-            val JArr(b) = (cell.get("bbox"): @unchecked).get
-            val Seq(x1, y1, x2, y2) = b.map(v => jvToInt(v))
-            picturePlaceholder(x1, y1, x2, y2)
-          case "Formula" =>
-            getFormulaInMarkdown(textOf(cell))
-          case _ =>
-            cleanText(textOf(cell))
-        }
         if (!first) sb.append("\n\n")
         first = false
         val start = sb.length()
@@ -153,6 +175,7 @@ object FormatTransformer {
 
   private def jvToInt(v: JValue): Int = v match {
     case graft.json.JInt(i) => i.toInt
+    case graft.json.JBig(i) => i.toInt
     case graft.json.JNum(d) => d.toInt // int(coord) truncates toward zero
     case other => throw new IllegalArgumentException(s"non-numeric bbox coord: $other")
   }

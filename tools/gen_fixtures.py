@@ -394,8 +394,11 @@ def write_transcripts(tier, rows, outdir):
         "tool": pa.array(cols[4], pa.string()),
         "ts": pa.array(cols[5], pa.timestamp("us")),
     }, schema=schema)
+    # bench tier: small row groups so a single file yields enough scan
+    # splits to saturate local[32] (row-group count bounds task parallelism)
+    rg = 512 if tier == "bench" else 4096
     pq.write_table(t, os.path.join(outdir, "transcripts.parquet"),
-                   row_group_size=4096)
+                   row_group_size=rg)
     print(f"{tier}: {len(rows)} turns -> {outdir}")
 
 def write_expected(rows, path):
