@@ -55,7 +55,7 @@ object Bench {
       turns0.toDF()
         .withColumn("rep", explode(sequence(lit(0), lit(replicate - 1))))
         .withColumn("conv_id", concat(col("conv_id"), lit("#"), col("rep")))
-        .select("conv_id", "turn_idx", "role", "text", "tool", "ts")
+        .select("conv_id", "turn_idx", "role", "text", "tool")
         .as[graft.pipeline.Turn]
     } else turns0
     val balanced = if (parts > 0) turns.repartition(parts) else turns

@@ -1,11 +1,16 @@
 package graft
-import org.apache.spark.sql.functions._
-import graft.pipeline.Extract
 
+import org.apache.spark.sql.functions._
+
+import graft.pipeline.{Extract, ExtractTurn, Turn}
+
+/** Dev-only profiling harness (not part of the driver contract).
+  * `runMain graft.Profile spark <cores> <replicate>` — stage-level timings.
+  * `runMain graft.Profile micro` — single-thread per-phase ns/turn.
+  */
 object Profile {
-  def main(args: Array[String]): Unit = {
-    val cores = args(0).toInt
-    val rep = args(1).toInt
+
+  private def sparkProfile(cores: Int, rep: Int): Unit = {
     val spark = org.apache.spark.sql.SparkSession.builder()
       .master(s"local[$cores]")
       .config("spark.sql.shuffle.partitions", cores.toString)
@@ -14,34 +19,61 @@ object Profile {
       .config("spark.sql.files.openCostInBytes", (16 << 10).toString)
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    import spark.implicits._
     def turns = {
       val t0 = Extract.readTranscripts(spark, "/root/repo/data/transcripts_bench")
+      import spark.implicits._
       t0.toDF()
         .withColumn("rep", explode(sequence(lit(0), lit(rep - 1))))
         .withColumn("conv_id", concat(col("conv_id"), lit("#"), col("rep")))
-        .select("conv_id", "turn_idx", "role", "text", "tool", "ts")
-        .as[graft.pipeline.Turn]
+        .select("conv_id", "turn_idx", "role", "text", "tool")
+        .as[Turn]
     }
     def t(name: String)(f: => Any): Unit = {
       val gcb = java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
       var gc0 = 0L; gcb.forEach(b => gc0 += b.getCollectionTime)
       val t0 = System.nanoTime(); f
       var gc1 = 0L; gcb.forEach(b => gc1 += b.getCollectionTime)
-      println(f"PROF $name ${(System.nanoTime()-t0)/1e9}%.2f s  gc=${(gc1-gc0)/1000.0}%.2f s")
+      println(f"PROF $name ${(System.nanoTime() - t0) / 1e9}%.2f s  gc=${(gc1 - gc0) / 1000.0}%.2f s")
     }
-    // warmup
-    turns.limit(50000).mapPartitions(_.map(graft.pipeline.ExtractTurn.apply)).toDF().count()
-    t("scan_explode_count")(turns.toDF().agg(sum(length(col("text")))).collect())
-    t("scan_explode_count2")(turns.toDF().agg(sum(length(col("text")))).collect())
-    t("extract_full")(Extract.extract(turns).toDF().agg(count(lit(1)), sum(length(coalesce(col("md"), lit(""))))).collect())
-    t("extract_full2")(Extract.extract(turns).toDF().agg(count(lit(1)), sum(length(coalesce(col("md"), lit(""))))).collect())
-    // object stage but discard results without encoder serialization:
-    t("extract_noencode")(turns.mapPartitions { it =>
-      var n = 0L
-      it.foreach { tu => val r = graft.pipeline.ExtractTurn(tu); n += r.md.map(_.length).getOrElse(0).toLong }
-      Iterator.single(n)
-    }.reduce(_ + _))
+    Extract.extract(turns.limit(50000)).toDF().count()
+    t("scan_explode")(turns.toDF().agg(sum(length(col("text")))).collect())
+    t("extract_full")(Extract.extract(turns).toDF()
+      .agg(count(lit(1)), sum(length(coalesce(col("md"), lit(""))))).collect())
+    t("extract_full2")(Extract.extract(turns).toDF()
+      .agg(count(lit(1)), sum(length(coalesce(col("md"), lit(""))))).collect())
     spark.stop()
+  }
+
+  private def microProfile(): Unit = {
+    val spark = org.apache.spark.sql.SparkSession.builder()
+      .master("local[2]").config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val rows = Extract.readTranscripts(spark, "/root/repo/data/transcripts_t2").collect()
+    spark.stop()
+    val n = rows.length
+    def bench(name: String, reps: Int)(f: Turn => Any): Unit = {
+      var i = 0
+      while (i < 2) { rows.foreach(f); i += 1 } // warmup
+      val t0 = System.nanoTime()
+      i = 0
+      while (i < reps) { rows.foreach(f); i += 1 }
+      val perTurn = (System.nanoTime() - t0).toDouble / (n.toLong * reps)
+      println(f"MICRO $name ${perTurn / 1000}%.2f us/turn")
+    }
+    bench("full_extract", 5)(ExtractTurn.apply)
+    bench("pyjson_parse_only", 5) { t =>
+      try graft.json.PyJson.parse(t.text) catch { case _: Exception => null }
+    }
+    bench("parse+dump", 5) { t =>
+      try graft.json.PyJson.dumps(graft.json.PyJson.parse(t.text))
+      catch { case _: Exception => null }
+    }
+    bench("geom_only", 5)(t => graft.pipeline.PageGeom.of(t.conv_id, t.turn_idx))
+  }
+
+  def main(args: Array[String]): Unit = args.headOption match {
+    case Some("micro") => microProfile()
+    case Some("spark") => sparkProfile(args(1).toInt, args(2).toInt)
+    case _ => sparkProfile(32, 36)
   }
 }

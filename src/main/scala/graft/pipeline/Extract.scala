@@ -28,7 +28,7 @@ object Extract {
   def readTranscripts(spark: SparkSession, path: String): Dataset[Turn] = {
     import spark.implicits._
     spark.read.parquet(path)
-      .select($"conv_id", $"turn_idx", $"role", $"text", $"tool", $"ts")
+      .select($"conv_id", $"turn_idx", $"role", $"text", $"tool")
       .as[Turn]
   }
 

@@ -6,11 +6,13 @@ import graft.json.{JArr, JBig, JBool, JInt, JNull, JNum, JObj, JStr, JValue, PyJ
 import graft.render.FormatTransformer
 import graft.text.Py
 
-/** Input row — the authoritative transcript shape (BASELINE.json input_hint).
-  * `ts` carried as epoch micros (data only, no event-time semantics).
+/** Input projection of the authoritative transcript shape (BASELINE.json
+  * input_hint). `ts` is deliberately NOT read: the per-turn transform never
+  * uses it, and pruning it keeps timestamp decoding out of the scan
+  * (column pruning down to the parquet reader — SURVEY §4).
   */
 final case class Turn(conv_id: String, turn_idx: Int, role: String,
-                      text: String, tool: String, ts: java.sql.Timestamp)
+                      text: String, tool: String)
 
 final case class SpanRow(cell_idx: Int, category: String, start: Int, end: Int)
 

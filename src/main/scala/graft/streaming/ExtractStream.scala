@@ -40,6 +40,7 @@ object ExtractStream {
       .schema(TranscriptSchema)
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
       .parquet(dir)
+      .select("conv_id", "turn_idx", "role", "text", "tool")
       .as[Turn]
   }
 

@@ -38,12 +38,16 @@ class PropertySpec extends AnyFunSuite {
     }, "smart_resize bounds")
   }
 
-  test("smart_resize is idempotent on its own output") {
+  test("smart_resize is idempotent on its own output (when re-admissible)") {
     check(Prop.forAll(dims, dims) { (h, w) =>
       val ratio = math.max(h, w).toDouble / math.min(h, w)
       ratio > 200 || {
         val (hb, wb) = SmartResize.smartResize(h, w)
-        SmartResize.smartResize(hb, wb) == ((hb, wb))
+        // factor-rounding can push a near-200 input OVER the aspect guard
+        // (e.g. 29x5700 -> 28x5712 = 204): the reference then throws on the
+        // second call too, so idempotence only applies to admissible output
+        val outRatio = math.max(hb, wb).toDouble / math.min(hb, wb)
+        outRatio > 200 || SmartResize.smartResize(hb, wb) == ((hb, wb))
       }
     }, "smart_resize idempotence")
   }
