@@ -108,6 +108,42 @@ object Extract {
       sum(when(col("clean_ops.tail_truncated"), 1L).otherwise(0L)).as("tail_truncations"))
   }
 
+  /** Observed metrics (A2 via df.observe): corpus counters collected as a
+    * side effect of the write, no extra pass. Read them after the action via
+    * the returned Observation.
+    */
+  def withObservedMetrics(results: Dataset[TurnResult]): (DataFrame, org.apache.spark.sql.Observation) = {
+    val obs = org.apache.spark.sql.Observation("extract_metrics")
+    val df = results.toDF().observe(obs,
+      count(lit(1)).as("rows"),
+      sum(when(col("filtered"), 1L).otherwise(0L)).as("filtered_rows"),
+      sum(when(col("status") === "error", 1L).otherwise(0L)).as("error_rows"),
+      sum(length(coalesce(col("md"), lit("")))).as("md_chars"))
+    (df, obs)
+  }
+
+  /** Checkpointed production run (Q3-Q5 semantics, SURVEY §7.3): skip keys
+    * already present in `outDir`, extract only the remainder, append results
+    * + per-partition lineage. Idempotent under re-runs and task retries
+    * (parquet file commits are atomic per task attempt); error rows are
+    * carried, never dropped, so a later pass can re-parse them by key.
+    * Returns the observed corpus metrics for the increment.
+    */
+  def runCheckpointed(spark: SparkSession, transcriptsPath: String,
+                      outDir: String): Map[String, Any] = {
+    val turns = readTranscripts(spark, transcriptsPath)
+    val remaining =
+      if (new java.io.File(s"$outDir/results").exists())
+        resumeFrom(turns, spark.read.parquet(s"$outDir/results"))
+      else turns
+    val (df, obs) = withObservedMetrics(
+      extract(remaining).sortWithinPartitions("conv_id", "turn_idx"))
+    df.write.mode("append").parquet(s"$outDir/results")
+    partitionLineage(spark.read.parquet(s"$outDir/results"))
+      .write.mode("overwrite").parquet(s"$outDir/lineage")
+    obs.get.map { case (k, v) => k -> v }
+  }
+
   /** Per-partition lineage/metrics table (SURVEY §4 checkpoint/lineage):
     * rows in/out, filtered and error counts per physical partition, written
     * alongside results for auditability + resume bookkeeping.

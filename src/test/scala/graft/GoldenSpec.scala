@@ -82,6 +82,19 @@ class GoldenSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(remaining.count() === turns.count() - 100)
   }
 
+  test("checkpointed run is resumable and idempotent (Q3-Q5)") {
+    val out = java.nio.file.Files.createTempDirectory("graft-ckpt").toFile.getAbsolutePath
+    val m1 = Extract.runCheckpointed(spark, "data/transcripts_t1", out)
+    assert(m1("rows").asInstanceOf[Long] === 1163L)
+    // second run: everything already processed -> zero-row increment
+    val m2 = Extract.runCheckpointed(spark, "data/transcripts_t1", out)
+    assert(m2("rows").asInstanceOf[Long] === 0L)
+    assert(spark.read.parquet(s"$out/results").count() === 1163L)
+    val lineage = spark.read.parquet(s"$out/lineage")
+    assert(lineage.agg(org.apache.spark.sql.functions.sum("rows_out"))
+      .collect()(0).getLong(0) === 1163L)
+  }
+
   test("PageGeom matches the generator's shape function") {
     import graft.pipeline.PageGeom
     // spot-checks derived from the Python fnv1a64 (same algorithm)
