@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.ops.{DocOps, VectorOps}
+import graft.ops.{DocOps, MultimodalOps, VectorOps}
 import graft.pipeline.{Extract, ResultJson}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -158,7 +158,13 @@ object SparkEntry {
       VectorOps.annLsh(s.read.parquet(s"$dir/embeddings.parquet"), dim = 64)),
 
     "vec_ann_ivf" -> ((s, dir) =>
-      VectorOps.annIvf(s.read.parquet(s"$dir/embeddings.parquet")))
+      VectorOps.annIvf(s.read.parquet(s"$dir/embeddings.parquet"))),
+
+    // ---- multimodal binary-column plumbing (decode step stubbed) ----
+    "mm_manifest" -> ((s, dir) => MultimodalOps.assetManifest(docs(s, dir))),
+
+    "mm_decoded" -> ((s, dir) => // rows-only: stub-codec outputs
+      MultimodalOps.decodedSummary(docs(s, dir)))
   )
 
   private def docs(s: SparkSession, dir: String): DataFrame =
@@ -223,6 +229,9 @@ object SparkEntry {
 
     "doc_fingerprint" ->
       """SELECT doc_id, md5(text) AS content_md5, substr(md5(text), 1, 16) AS fp64_hex FROM documents ORDER BY doc_id""",
+
+    "mm_manifest" ->
+      """SELECT doc_id AS asset_id, CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS media_type, octet_length(encode(text)) AS n_bytes, md5(text) AS content_md5 FROM documents ORDER BY asset_id""",
 
     "vec_cosine_topk" ->
       """WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings), q AS (SELECT vec_id AS query_id, e AS qe FROM base WHERE vec_id < 10), scored AS (SELECT query_id, vec_id, list_cosine_similarity(qe, e) AS c FROM base, q WHERE vec_id != query_id), r AS (SELECT query_id, vec_id, c, row_number() OVER (PARTITION BY query_id ORDER BY c DESC, vec_id) AS rank FROM scored) SELECT query_id, rank, vec_id AS neighbor_id, round(c, 6) AS cosine FROM r WHERE rank <= 5 ORDER BY query_id, rank"""
