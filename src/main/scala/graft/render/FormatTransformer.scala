@@ -141,13 +141,19 @@ object FormatTransformer {
     assemble(renderPieces(cells), noPageHf)
 
   /** Both variants from ONE render pass (the hot-path form). Returns
-    * (md, spans-of-md, mdNohf).
+    * (md, spans-of-md, mdNohf). When the page has no header/footer cells the
+    * two markdowns are the same string — share the instance instead of
+    * assembling it twice (most pages).
     */
   def layoutJsonToMdBoth(cells: Vector[JValue]): (String, Vector[Span], String) = {
     val pieces = renderPieces(cells)
     val (md, spans) = assemble(pieces, noPageHf = false)
-    val (mdNohf, _) = assemble(pieces, noPageHf = true)
-    (md, spans, mdNohf)
+    val hasHf = pieces.exists(p => p._1 == "Page-header" || p._1 == "Page-footer")
+    if (!hasHf) (md, spans, md)
+    else {
+      val (mdNohf, _) = assemble(pieces, noPageHf = true)
+      (md, spans, mdNohf)
+    }
   }
 
   private def assemble(pieces: Vector[(String, String)],
