@@ -16,11 +16,16 @@ object VectorOps {
 
   private def toDouble(c: Column): Column = transform(c, x => x.cast("double"))
 
+  /** Codegen'd native dot product (graft.functions.DotProduct) — same
+    * left-to-right summation order as the HOF formulation it replaced
+    * (`aggregate(zip_with(a,b,_*_), 0.0, _+_)`), so results are
+    * bit-identical, just without interpreted lambdas + an intermediate
+    * array per comparison.
+    */
   private def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+    graft.functions.VectorExpressions.dot_product(a, b)
 
-  private def norm(a: Column): Column =
-    sqrt(aggregate(a, lit(0.0), (acc, x) => acc + x * x))
+  private def norm(a: Column): Column = sqrt(dot(a, a))
 
   /** Brute-force cosine top-k: queries broadcast against the corpus.
     * Query set = vec_id < nQueries (deterministic).
