@@ -160,6 +160,17 @@ object SparkEntry {
     "vec_ann_ivf" -> ((s, dir) =>
       VectorOps.annIvf(s.read.parquet(s"$dir/embeddings.parquet"))),
 
+    // extraction ⨯ text-analysis: script profile of the EXTRACTED markdown
+    // (the multilingual payload corpus makes this non-trivial); oracle
+    // recomputes the same regex counts over the frozen golden md
+    "extract_lang_profile" -> ((s, _) => {
+      val res = Extract.run(s, TranscriptsT2).toDF()
+        .select(col("conv_id"), col("turn_idx"),
+          coalesce(col("md"), lit("")).as("text"))
+      DocOps.langIdFor(res, Seq("conv_id", "turn_idx"), "text")
+        .orderBy("conv_id", "turn_idx")
+    }),
+
     // ---- multimodal binary-column plumbing (decode step stubbed) ----
     "mm_manifest" -> ((s, dir) => MultimodalOps.assetManifest(docs(s, dir))),
 
@@ -229,6 +240,9 @@ object SparkEntry {
 
     "doc_fingerprint" ->
       """SELECT doc_id, md5(text) AS content_md5, substr(md5(text), 1, 16) AS fp64_hex FROM documents ORDER BY doc_id""",
+
+    "extract_lang_profile" ->
+      s"""SELECT conv_id, turn_idx, latin_chars, cjk_chars, cyr_chars, arab_chars, CASE WHEN cjk_chars >= greatest(latin_chars, cyr_chars, arab_chars) AND cjk_chars > 0 THEN 'cjk' WHEN cyr_chars >= greatest(latin_chars, cjk_chars, arab_chars) AND cyr_chars > 0 THEN 'cyrillic' WHEN arab_chars >= greatest(latin_chars, cjk_chars, cyr_chars) AND arab_chars > 0 THEN 'arabic' WHEN latin_chars > 0 THEN 'latin' ELSE 'unknown' END AS script FROM (SELECT conv_id, turn_idx, length(t) - length(regexp_replace(t, '[A-Za-z]', '', 'g')) AS latin_chars, length(t) - length(regexp_replace(t, '[\\x{4E00}-\\x{9FFF}]', '', 'g')) AS cjk_chars, length(t) - length(regexp_replace(t, '[\\x{0400}-\\x{04FF}]', '', 'g')) AS cyr_chars, length(t) - length(regexp_replace(t, '[\\x{0600}-\\x{06FF}]', '', 'g')) AS arab_chars FROM (SELECT conv_id, turn_idx, coalesce(md, '') AS t FROM read_parquet('$ExpectedT2'))) x ORDER BY conv_id, turn_idx""",
 
     "mm_manifest" ->
       """SELECT doc_id AS asset_id, CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS media_type, octet_length(encode(text)) AS n_bytes, md5(text) AS content_md5 FROM documents ORDER BY asset_id""",

@@ -172,24 +172,26 @@ object DocOps {
 
   /** Script-profile language ID (n-gram-free heuristic: per-script char
     * counts → dominant script). Counts are regex-expressible so the DuckDB
-    * oracle replicates them exactly.
+    * oracle replicates them exactly. `idCols` pass through, so the same op
+    * runs over the documents corpus and over extracted per-turn markdown.
     */
-  def langId(docs: DataFrame): DataFrame = {
-    val t = col("text")
+  def langIdFor(df: DataFrame, idCols: Seq[String], textCol: String): DataFrame = {
+    val t = col(textCol)
     val latin = charCount(t, "[A-Za-z]")
     val cjk = charCount(t, "[\\u4E00-\\u9FFF]")
     val cyr = charCount(t, "[\\u0400-\\u04FF]")
     val arab = charCount(t, "[\\u0600-\\u06FF]")
-    docs.select(
-      col("doc_id"),
+    df.select(idCols.map(col) ++ Seq(
       latin.as("latin_chars"), cjk.as("cjk_chars"),
       cyr.as("cyr_chars"), arab.as("arab_chars"),
       when(cjk >= greatest(latin, cyr, arab) && cjk > 0, "cjk")
         .when(cyr >= greatest(latin, cjk, arab) && cyr > 0, "cyrillic")
         .when(arab >= greatest(latin, cjk, cyr) && arab > 0, "arabic")
         .when(latin > 0, "latin")
-        .otherwise("unknown").as("script"))
+        .otherwise("unknown").as("script")): _*)
   }
+
+  def langId(docs: DataFrame): DataFrame = langIdFor(docs, Seq("doc_id"), "text")
 
   private val Stopwords = Seq("the", "a", "an", "of", "and", "to", "in", "is",
     "it", "that", "for", "on", "with", "as", "was", "at", "by", "be")
