@@ -193,6 +193,15 @@ def make_payload(cls, rng, iw, ih):
               "bbox": [12, 210, 280, 260]}
         c3 = mk_cell(rng, iw, ih, cat="Title")
         return dumps([c1, c2, c3])
+    if cls == "P0float":  # float + negative coords: int(float(x)/scale)
+        # truncates TOWARD ZERO (not floor) — negative witnesses pin that
+        c1 = {"bbox": [10.7, 20.2, 110.9, 220.499], "category": "Text",
+              "text": rng.choice(TEXT_POOL)}
+        c2 = {"bbox": [-15, -7, 90, 80], "category": "Caption",
+              "text": "negative origin crop"}
+        c3 = {"bbox": [0.5, 1.5, 33.25, 44.75], "category": "Footnote",
+              "text": "halves"}
+        return dumps([c1, c2, c3, mk_cell(rng, iw, ih)])
     if cls == "P0illegal":  # P15: x2<=x1 — reference passes them through
         bad = {"bbox": [200, 100, 150, 90], "category": "Text", "text": "inverted"}
         return dumps([bad, mk_cell(rng, iw, ih)])
@@ -264,6 +273,7 @@ def make_payload(cls, rng, iw, ih):
 # class mix: ~72% well-formed-ish, rest repair classes (FIXTURES.md §5)
 CLASS_WHEEL = (
     ["P0"] * 40 + ["P0hf"] * 8 + ["P0formula"] * 8 + ["P0picture"] * 6 +
+    ["P0float"] * 4 +
     ["P0rich"] * 6 + ["P0illegal"] * 2 +
     ["P1"] * 4 + ["P2"] * 4 + ["P2long"] * 1 + ["P3"] * 4 + ["P4"] * 3 +
     ["P5"] * 3 + ["P6"] * 3 + ["P7"] * 3 + ["P8"] * 2 + ["P8list"] * 2 +
