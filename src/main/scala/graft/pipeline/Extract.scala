@@ -60,8 +60,11 @@ object Extract {
     * final sort key restores it (SURVEY §7.4.7).
     */
   def saltedRepartition(df: DataFrame, parts: Int, bucket: Int = 64): DataFrame =
-    df.repartition(parts, pmod(xxhash64(col("conv_id"),
-      (col("turn_idx") / lit(bucket)).cast("long")), lit(parts)))
+    // NOTE: repartition(parts, expr) hash-partitions ON the expression — a
+    // pre-pmod'ed salt would be hashed AGAIN (collapsing the spread), so the
+    // salt column is the raw 64-bit hash of (conv_id, turn-bucket)
+    df.repartition(parts, xxhash64(col("conv_id"),
+      (col("turn_idx") / lit(bucket)).cast("long")))
 
   /** Checkpoint-resume (J1/Q5, demo/demo_gradio_batch.py:47-55,1254-1341):
     * drop turns whose (conv_id, turn_idx) already exist in the results table.
