@@ -124,6 +124,15 @@ object SparkEntry {
         .orderBy(col("user_id"))
     }),
 
+    // grouping-sets analytics: CUBE over (event_type, day) — Catalyst
+    // expands to a single Expand+HashAggregate pass (no per-set rescans)
+    "events_cube" -> ((s, dir) => {
+      s.read.parquet(s"$dir/events.parquet")
+        .cube(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("n"), sum(col("value")).as("total_value"))
+        .orderBy(asc_nulls_first("event_type"), asc_nulls_first("day"))
+    }),
+
     // ---- training-data pipeline ops (documents / embeddings) ----
     "doc_exact_dedup" -> ((s, dir) =>
       DocOps.exactDedup(docs(s, dir)).orderBy("content_md5")),
@@ -216,6 +225,9 @@ object SparkEntry {
 
     "events_window" ->
       """SELECT user_id, max(seq) AS n_events, sum(value) AS total_value FROM (SELECT user_id, value, row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS seq FROM events) t GROUP BY user_id ORDER BY user_id""",
+
+    "events_cube" ->
+      """SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS n, sum(value) AS total_value FROM events GROUP BY CUBE(event_type, CAST(ts AS DATE)) ORDER BY event_type NULLS FIRST, day NULLS FIRST""",
 
     "doc_exact_dedup" ->
       """SELECT md5(text) AS content_md5, min(doc_id) AS keeper_doc_id, count(*) AS n_copies FROM documents GROUP BY 1 ORDER BY 1""",
