@@ -95,6 +95,21 @@ class GoldenSpec extends AnyFunSuite with BeforeAndAfterAll {
       .collect()(0).getLong(0) === 1163L)
   }
 
+  test("error rows are carried with reason, never dropped (Q4)") {
+    import graft.pipeline.{ExtractTurn, Turn}
+    // top-level JSON dict: strict parse succeeds (non-list), the repair
+    // ladder would need Python dict-repr — declared unsupported divergence,
+    // must surface as a status='error' row with a reason, not vanish
+    val r = ExtractTurn(Turn("conv-x", 0, "user", """{"bbox": [1, 2, 3, 4]}""",
+      "prompt_layout_all_en"))
+    assert(r.status === "error")
+    assert(r.error_reason.exists(_.contains("repr")))
+    assert(r.filtered)
+    // non-layout mode passes any payload through untouched
+    val ok = ExtractTurn(Turn("conv-x", 1, "user", "free text", "prompt_ocr"))
+    assert(ok.status === "ok" && ok.md.contains("free text"))
+  }
+
   test("PageGeom matches the generator's shape function") {
     import graft.pipeline.PageGeom
     // spot-checks derived from the Python fnv1a64 (same algorithm)
