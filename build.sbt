@@ -11,6 +11,10 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked-run output passes through UNWRAPPED (no sbt "[info] " prefix):
+// the driver parses Bench's single JSON metric line from stdout, and the
+// logger prefix made it unparseable in round 1 (BENCH_r01 "parsed": null).
+outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

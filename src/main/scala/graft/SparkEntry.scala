@@ -146,7 +146,7 @@ object SparkEntry {
     "doc_dedup_keepers" -> ((s, dir) =>
       DocOps.dedupKeepers(docs(s, dir), tau = 0.5).orderBy("doc_id")),
 
-    "doc_simhash_pairs" -> ((s, dir) => // no SQL oracle: engine-specific hash
+    "doc_simhash_pairs" -> ((s, dir) =>
       DocOps.simhashPairs(docs(s, dir), maxDist = 3).orderBy("doc_a", "doc_b")),
 
     "doc_lang_id" -> ((s, dir) => DocOps.langId(docs(s, dir)).orderBy("doc_id")),
@@ -157,7 +157,7 @@ object SparkEntry {
 
     "doc_fingerprint" -> ((s, dir) => DocOps.fingerprint(docs(s, dir)).orderBy("doc_id")),
 
-    "doc_winnow" -> ((s, dir) => // no SQL oracle: xxhash64 is Spark-specific
+    "doc_winnow" -> ((s, dir) =>
       DocOps.winnowFingerprints(docs(s, dir)).orderBy("doc_id")),
 
     "vec_cosine_topk" -> ((s, dir) =>
@@ -202,8 +202,11 @@ object SparkEntry {
     "extract_turns" ->
       s"""SELECT conv_id, turn_idx, input_width, input_height, cells_json, md, md_nohf, filtered, spans_json FROM read_parquet('$ExpectedT2') ORDER BY conv_id, turn_idx""",
 
+    // sums CAST to BIGINT: DuckDB sum() yields HUGEINT (-> pandas float64)
+    // while Spark emits BIGINT; values are equal but the driver's hash
+    // compare is type-sensitive (round-1 red row)
     "extract_report" ->
-      s"""SELECT count(*) AS total_cases, sum(CASE WHEN filtered THEN 1 ELSE 0 END) AS filtered_cases, sum(length(coalesce(md,''))) AS total_md_chars FROM read_parquet('$ExpectedT2')""",
+      s"""SELECT count(*) AS total_cases, CAST(sum(CASE WHEN filtered THEN 1 ELSE 0 END) AS BIGINT) AS filtered_cases, CAST(sum(length(coalesce(md,''))) AS BIGINT) AS total_md_chars FROM read_parquet('$ExpectedT2')""",
 
     "doc_fanin" ->
       s"""SELECT conv_id, string_agg(md, e'\\n\\n---\\n\\n' ORDER BY turn_idx) AS doc_md, count(*) AS n_pages FROM read_parquet('$ExpectedT2') WHERE md IS NOT NULL GROUP BY conv_id ORDER BY conv_id""",
@@ -252,6 +255,16 @@ object SparkEntry {
 
     "doc_fingerprint" ->
       """SELECT doc_id, md5(text) AS content_md5, substr(md5(text), 1, 16) AS fp64_hex FROM documents ORDER BY doc_id""",
+
+    // SimHash recomputed independently: 60-bit md5-prefix word hash
+    // (CAST('0x..' AS BIGINT)), per-bit tf-weighted sums, pigeonhole bands
+    "doc_simhash_pairs" ->
+      """WITH wordtf AS (SELECT doc_id, word, count(*) AS tf FROM (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS word FROM documents) GROUP BY doc_id, word), hashed AS (SELECT doc_id, tf, CAST(('0x' || substr(md5(word), 1, 15)) AS BIGINT) AS h FROM wordtf), sums AS (SELECT doc_id, i, sum(CASE WHEN (h >> i) & 1 = 1 THEN tf ELSE -tf END) AS s FROM hashed CROSS JOIN (SELECT unnest(range(60)) AS i) bits GROUP BY doc_id, i), fp AS (SELECT doc_id, CAST(sum(CASE WHEN s > 0 THEN CAST(1 AS BIGINT) << i ELSE 0 END) AS BIGINT) AS simhash FROM sums GROUP BY doc_id), banded AS (SELECT doc_id, simhash, j AS chunk_idx, (simhash >> (j * 15)) & 32767 AS chunk_val FROM fp CROSS JOIN (SELECT unnest(range(4)) AS j) chunks) SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming FROM banded a JOIN banded b ON a.chunk_idx = b.chunk_idx AND a.chunk_val = b.chunk_val WHERE a.doc_id < b.doc_id AND bit_count(xor(a.simhash, b.simhash)) <= 3 ORDER BY doc_a, doc_b""",
+
+    // Winnowing recomputed independently: distinct 5-word shingles, per-doc
+    // minima of 4 md5 hash families, ':'-joined 16-hex-char prefixes
+    "doc_winnow" ->
+      """WITH words AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w FROM documents), sh AS (SELECT DISTINCT doc_id, s FROM (SELECT doc_id, unnest(list_transform(range(1, len(w)-3), i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4])) AS s FROM words WHERE len(w) >= 5)) SELECT doc_id, min(substr(md5('w0:' || s), 1, 16)) || ':' || min(substr(md5('w1:' || s), 1, 16)) || ':' || min(substr(md5('w2:' || s), 1, 16)) || ':' || min(substr(md5('w3:' || s), 1, 16)) AS winnow_sig FROM sh GROUP BY doc_id ORDER BY doc_id""",
 
     "extract_lang_profile" ->
       s"""SELECT conv_id, turn_idx, latin_chars, cjk_chars, cyr_chars, arab_chars, CASE WHEN cjk_chars >= greatest(latin_chars, cyr_chars, arab_chars) AND cjk_chars > 0 THEN 'cjk' WHEN cyr_chars >= greatest(latin_chars, cjk_chars, arab_chars) AND cyr_chars > 0 THEN 'cyrillic' WHEN arab_chars >= greatest(latin_chars, cjk_chars, cyr_chars) AND arab_chars > 0 THEN 'arabic' WHEN latin_chars > 0 THEN 'latin' ELSE 'unknown' END AS script FROM (SELECT conv_id, turn_idx, length(t) - length(regexp_replace(t, '[A-Za-z]', '', 'g')) AS latin_chars, length(t) - length(regexp_replace(t, '[\\x{4E00}-\\x{9FFF}]', '', 'g')) AS cjk_chars, length(t) - length(regexp_replace(t, '[\\x{0400}-\\x{04FF}]', '', 'g')) AS cyr_chars, length(t) - length(regexp_replace(t, '[\\x{0600}-\\x{06FF}]', '', 'g')) AS arab_chars FROM (SELECT conv_id, turn_idx, coalesce(md, '') AS t FROM read_parquet('$ExpectedT2'))) x ORDER BY conv_id, turn_idx""",

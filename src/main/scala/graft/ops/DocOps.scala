@@ -118,34 +118,48 @@ object DocOps {
 
   // ------------------------------------------------------------ SimHash
 
-  /** 64-bit SimHash over word unigrams weighted by term frequency. Pure
+  /** Bits in the SimHash fingerprint. 60 (not 64) so the word hash is the
+    * first 15 hex chars of md5 — portable to any engine that has md5 (the
+    * DuckDB oracle recomputes it exactly), and still far past the ~48-bit
+    * birthday bound of a 10^12-doc corpus when used per-band.
+    */
+  val SimhashBits = 60
+
+  /** Word hash: 60-bit integer from the md5 prefix. Engine-portable (the
+    * previous xxhash64 was Spark-specific, leaving SimHash/winnowing without
+    * an independent oracle).
+    */
+  private def md5Hash60(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+
+  /** 60-bit SimHash over word unigrams weighted by term frequency. Pure
     * aggregation: per bit, sum +tf when the word-hash bit is 1 else -tf.
     */
   def simhash(docs: DataFrame): DataFrame = {
     val wordTf = docs
       .select(col("doc_id"), explode(split(trim(col("text")), "\\s+")).as("word"))
       .groupBy(col("doc_id"), col("word")).agg(count(lit(1)).as("tf"))
-      .withColumn("h", xxhash64(col("word")))
-    val bitSums = (0 until 64).map { i =>
+      .withColumn("h", md5Hash60(col("word")))
+    val bitSums = (0 until SimhashBits).map { i =>
       sum(when(shiftright(col("h"), i).bitwiseAND(lit(1L)) === 1L, col("tf"))
         .otherwise(-col("tf"))).as(s"b$i")
     }
     val agg = wordTf.groupBy(col("doc_id")).agg(bitSums.head, bitSums.tail: _*)
-    val fp = (0 until 64).map { i =>
+    val fp = (0 until SimhashBits).map { i =>
       when(col(s"b$i") > 0, shiftleft(lit(1L), i)).otherwise(lit(0L))
     }.reduce[Column](_.bitwiseOR(_))
     agg.select(col("doc_id"), fp.as("simhash"))
   }
 
   /** Near-dup pairs by SimHash Hamming distance ≤ maxDist, found via the
-    * pigeonhole band trick: split the 64-bit fingerprint into maxDist+1
+    * pigeonhole band trick: split the 60-bit fingerprint into maxDist+1
     * chunks — any pair within distance maxDist shares ≥1 exact chunk, so an
     * equi-join on (chunk_idx, chunk_value) finds all of them without an
     * O(n²) scan.
     */
   def simhashPairs(docs: DataFrame, maxDist: Int = 3): DataFrame = {
     val chunks = maxDist + 1
-    val width = 64 / chunks
+    val width = SimhashBits / chunks
     val fp = simhash(docs)
     val banded = fp.select(col("doc_id"), col("simhash"),
       posexplode(array((0 until chunks).map { j =>
@@ -159,7 +173,7 @@ object DocOps {
     a.join(b, Seq("chunk_idx", "chunk_val"))
       .where(col("doc_a") < col("doc_b"))
       .select(col("doc_a"), col("doc_b"),
-        bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).as("hamming"))
+        bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).cast("long").as("hamming"))
       .distinct()
       .where(col("hamming") <= maxDist)
   }
@@ -242,12 +256,19 @@ object DocOps {
     * stream keep each window's minimum hash (here: global per-doc minima of
     * w hash families — a deterministic, order-free variant that keeps the
     * selection stable under re-partitioning).
+    *
+    * Hash family i = md5("w<i>:" + shingle); the minimum is taken on the
+    * 16-hex-char prefix (fixed width ⇒ lexicographic min = unsigned numeric
+    * min), and the signature is emitted as ONE ':'-joined string — a scalar
+    * the driver harness can sort/hash, and md5 keeps it DuckDB-recomputable.
     */
   def winnowFingerprints(docs: DataFrame, w: Int = 4): DataFrame = {
     val sh = shingles(docs, k = 5)
-    val mins = (0 until w).map(i => min(xxhash64(lit(1000 + i), col("s"))).as(s"w$i"))
+    val mins = (0 until w).map(i =>
+      min(substring(md5(concat(lit(s"w$i:"), col("s"))), 1, 16)).as(s"w$i"))
     sh.groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
-      .select(col("doc_id"), array((0 until w).map(i => col(s"w$i")): _*).as("winnow_sig"))
+      .select(col("doc_id"),
+        concat_ws(":", (0 until w).map(i => col(s"w$i")): _*).as("winnow_sig"))
   }
 
   /** First-occurrence keeper assignment for near-dup clusters: union exact

@@ -114,9 +114,11 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   test("winnow fingerprints are stable under repartitioning") {
     val a = DocOps.winnowFingerprints(docs).collect()
-      .map(r => (r.getLong(0), r.getSeq[Long](1).toVector)).toMap
+      .map(r => (r.getLong(0), r.getString(1))).toMap
     val b = DocOps.winnowFingerprints(docs.repartition(7)).collect()
-      .map(r => (r.getLong(0), r.getSeq[Long](1).toVector)).toMap
+      .map(r => (r.getLong(0), r.getString(1))).toMap
     assert(a === b)
+    // scalar signature: 4 ':'-joined 16-hex-char minima (harness-hashable)
+    assert(a.values.forall(_.matches("[0-9a-f]{16}(:[0-9a-f]{16}){3}")))
   }
 }

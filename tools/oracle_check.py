@@ -39,6 +39,17 @@ for name, sql in sorted(oracles.items()):
                                           check_exact=False, rtol=1e-9)
         except AssertionError as e:
             status = "VALUES " + str(e).replace("\n", " ")[:200]
+        # the driver's hash compare is KIND-sensitive (round-1 lesson:
+        # DuckDB HUGEINT -> float64 vs Spark BIGINT hashed differently
+        # despite equal values). Width drift (int32 vs int64) is fine —
+        # those rows hashed green in CORRECTNESS_r01 — but int-vs-float
+        # (or numeric-vs-object) is a future red row.
+        if status == "OK":
+            kinds_s = [d.kind for d in sdf.dtypes]
+            kinds_o = [d.kind for d in odf.dtypes]
+            norm = lambda ks: ["i" if k in "iu" else k for k in ks]
+            if norm(kinds_s) != norm(kinds_o):
+                status = f"DTYPE KINDS {kinds_s} vs {kinds_o}"
     if status != "OK":
         fails += 1
     print(f"{name}: rows={len(sdf)} {status}")
