@@ -116,10 +116,15 @@ object VectorOps {
     * passes. Each round is one shuffle keyed by cell.
     */
   def kmeansCells(base: DataFrame, nCells: Int, iters: Int = 3): DataFrame = {
+    // Seed selection is a global top-k (smallest hash), NOT a global window:
+    // orderBy(...).limit(k) plans as TakeOrderedAndProject — a tree-reduced
+    // per-partition top-k — where row_number() over an unpartitioned Window
+    // would funnel the ENTIRE corpus through one partition (the round-1
+    // scale-killer). The window below runs on ≤ nCells rows only.
+    val seeds = base.orderBy(xxhash64(col("vec_id")), col("vec_id")).limit(nCells)
     val wSeed = Window.orderBy(xxhash64(col("vec_id")), col("vec_id"))
-    var centroids = base
+    var centroids = seeds
       .withColumn("rk", row_number().over(wSeed))
-      .where(col("rk") <= nCells)
       .select((col("rk") - 1).as("cell"), col("e").as("ce"))
       .withColumn("cn", norm(col("ce")))
 

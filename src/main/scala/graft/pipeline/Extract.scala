@@ -135,8 +135,13 @@ object Extract {
   def runCheckpointed(spark: SparkSession, transcriptsPath: String,
                       outDir: String): Map[String, Any] = {
     val turns = readTranscripts(spark, transcriptsPath)
+    // Resolve through Hadoop's FileSystem, not java.io.File: outDir may be
+    // HDFS/S3 under spark-submit, where a local-File check is always false
+    // and a resumed run would silently re-append already-processed keys.
+    val resultsPath = new org.apache.hadoop.fs.Path(s"$outDir/results")
+    val fs = resultsPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val remaining =
-      if (new java.io.File(s"$outDir/results").exists())
+      if (fs.exists(resultsPath))
         resumeFrom(turns, spark.read.parquet(s"$outDir/results"))
       else turns
     val (df, obs) = withObservedMetrics(

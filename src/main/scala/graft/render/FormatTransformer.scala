@@ -80,8 +80,15 @@ object FormatTransformer {
 
     if (text.contains("usepackage")) text = cleanLatexPreamble(text)
 
-    if (text.nonEmpty && text.charAt(0) == '`' && text.charAt(text.length - 1) == '`')
-      text = text.substring(1, text.length - 1)
+    // format_transformer.py:113 `text[0]`: preamble cleaning can empty the
+    // string, and CPython then raises IndexError (task death in the
+    // reference); the analog here is an exception → error-status row.
+    if (text.isEmpty)
+      throw new StringIndexOutOfBoundsException("IndexError: string index out of range")
+    if (text.charAt(0) == '`' && text.charAt(text.length - 1) == '`') {
+      // single "`": both tests hit the same char; Python text[1:-1] == ""
+      text = if (text.length >= 2) text.substring(1, text.length - 1) else ""
+    }
 
     s"$$$$\n$text\n$$$$"
   }

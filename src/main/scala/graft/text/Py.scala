@@ -104,14 +104,16 @@ object Py {
     if (d.isPosInfinity) return "inf"
     if (d.isNegInfinity) return "-inf"
     if (d == 0.0) return if (1.0 / d < 0) "-0.0" else "0.0"
-    // shortest precision 1..17 that round-trips
+    // shortest precision 1..17 that round-trips. Locale.ROOT: a JVM whose
+    // default locale uses comma decimal separators would render "3,14e+00"
+    // and the round-trip toDouble (and the contract bytes) would break.
     var p = 1
     var sci: String = null
     while (p <= 17 && sci == null) {
-      val cand = String.format("%." + (p - 1) + "e", Double.box(d))
+      val cand = String.format(java.util.Locale.ROOT, "%." + (p - 1) + "e", Double.box(d))
       if (cand.toDouble == d) sci = cand else p += 1
     }
-    if (sci == null) sci = String.format("%.16e", Double.box(d))
+    if (sci == null) sci = String.format(java.util.Locale.ROOT, "%.16e", Double.box(d))
     // sci looks like -3.140000e+00 ; extract digits + exponent
     val neg = sci.startsWith("-")
     val body = if (neg) sci.substring(1) else sci

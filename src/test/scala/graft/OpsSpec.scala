@@ -102,6 +102,12 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(recall >= 0.9)
   }
 
+  test("IVF seeding plans as TakeOrderedAndProject, not a single-partition global window") {
+    val plan = VectorOps.annIvf(clusteredEmb).queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"seed top-k should be tree-reduced, plan was:\n${plan.take(2000)}")
+  }
+
   test("ANN-LSH on uniform embeddings still runs and beats random scanning") {
     val exact = VectorOps.cosineTopK(emb).collect()
       .map(r => (r.getLong(0), r.getLong(2))).toSet
