@@ -2,7 +2,7 @@ package graft.clean
 
 import java.util.regex.Pattern
 
-import graft.json.{JArr, JBig, JInt, JNull, JObj, JStr, JValue, PyJson, PyJsonParseException}
+import graft.json.{JArr, JBig, JBool, JInt, JNull, JNum, JObj, JStr, JValue, PyJson, PyJsonParseException}
 import graft.text.Py
 
 /** Per-row lineage counters for the repair ladder — the A1 "clean_ops"
@@ -229,6 +229,33 @@ object OutputCleaner {
     }
   }
 
+  /** Python TypeError analog in the C9 dedup: hashing a key that contains a
+    * list/dict raises in CPython (`tuple(bbox)` with a nested list, or a
+    * non-scalar category/text), and so does slicing a non-str text in the
+    * ≥5-pair debug print; either aborts clean_model_output and returns the
+    * input UNCHANGED (output_cleaner.py:433-435).
+    */
+  private final class UnhashableKeyException
+    extends RuntimeException("TypeError in dedup key handling")
+
+  /** Canonical dedup-key form mirroring Python `==`/hash across types:
+    * numbers and bools compare numerically (1 == 1.0 == True), NaN never
+    * equals anything (fresh identity per occurrence), strings and None only
+    * equal their own kind; lists/dicts are unhashable.
+    */
+  private def pyKey(v: JValue): Any = v match {
+    case JStr(s)  => s
+    case JInt(i)  => java.math.BigDecimal.valueOf(i).stripTrailingZeros
+    case JBig(i)  => new java.math.BigDecimal(i.bigInteger).stripTrailingZeros
+    case JBool(b) => java.math.BigDecimal.valueOf(if (b) 1L else 0L).stripTrailingZeros
+    case JNum(d)  =>
+      if (d.isNaN) new Object // nan != nan: no two occurrences ever dedup
+      else if (d.isInfinite) ("inf", d > 0)
+      else new java.math.BigDecimal(d).stripTrailingZeros // exact binary value
+    case JNull    => JNull
+    case _: JArr | _: JObj => throw new UnhashableKeyException
+  }
+
   /** output_cleaner.py:347-416 — positional dedup: (category,text) pairs
     * appearing ≥5 times and exact bboxes appearing ≥2 times keep only their
     * first occurrence. Returns (cleaned, removedCount).
@@ -236,27 +263,38 @@ object OutputCleaner {
   def removeDuplicateCategoryTextPairsAndBbox(dataList: Vector[JValue]): (Vector[JValue], Int) = {
     if (dataList.length <= 1) return (dataList, 0)
 
-    val pairPositions = scala.collection.mutable.LinkedHashMap.empty[(JValue, JValue), List[Int]]
+    val pairPositions = scala.collection.mutable.LinkedHashMap.empty[(Any, Any), List[Int]]
     dataList.zipWithIndex.foreach {
       case (item: JObj, i) if item.contains("category") && item.contains("text") =>
-        val key = (item.get("category").getOrElse(JStr("")), item.get("text").getOrElse(JStr("")))
+        val key = (pyKey(item.get("category").getOrElse(JStr(""))),
+          pyKey(item.get("text").getOrElse(JStr(""))))
         pairPositions(key) = pairPositions.getOrElse(key, Nil) :+ i
       case _ => ()
     }
 
-    val bboxPositions = scala.collection.mutable.LinkedHashMap.empty[Vector[JValue], List[Int]]
+    val bboxPositions = scala.collection.mutable.LinkedHashMap.empty[Vector[Any], List[Int]]
     dataList.zipWithIndex.foreach {
       case (item: JObj, i) =>
         item.get("bbox") match {
           case Some(JArr(bbox)) if bbox.nonEmpty =>
-            bboxPositions(bbox) = bboxPositions.getOrElse(bbox, Nil) :+ i
+            val key = bbox.map(pyKey)
+            bboxPositions(key) = bboxPositions.getOrElse(key, Nil) :+ i
           case _ => ()
         }
       case _ => ()
     }
 
     val toRemove = scala.collection.mutable.HashSet.empty[Int]
-    pairPositions.foreach { case (_, pos) if pos.length >= 5 => toRemove ++= pos.tail; case _ => () }
+    pairPositions.foreach {
+      case ((_, textKey), pos) if pos.length >= 5 =>
+        // CPython quirk (output_cleaner.py:386): the debug print slices
+        // `text[:50]` — a non-str text value (int/float/bool/None) raises
+        // TypeError THERE, aborting the whole clean → input returned
+        // unchanged. pyKey maps JStr (and only JStr) to a plain String.
+        if (!textKey.isInstanceOf[String]) throw new UnhashableKeyException
+        toRemove ++= pos.tail
+      case _ => ()
+    }
     bboxPositions.foreach { case (_, pos) if pos.length >= 2 => toRemove ++= pos.tail; case _ => () }
 
     if (toRemove.isEmpty) (dataList, 0)

@@ -170,10 +170,26 @@ object ExtractTurn {
     }
   }
 
-  /** Python str() of a parsed-JSON scalar (needed when json.loads succeeds
-    * with a non-list and the repair ladder stringifies it,
-    * output_cleaner.py:424). Containers would need full repr — unsupported
-    * (fixtures never produce them); throwing yields an error-status row.
+  /** Python repr() of a parsed-JSON value: containers render recursively
+    * with single-quoted string repr — what str(dict)/str(list) produces.
+    */
+  private def pyRepr(v: JValue): String = v match {
+    case JStr(s)  => Py.reprStr(s)
+    case JInt(i)  => i.toString
+    case JBig(i)  => i.toString
+    case JNum(d)  => Py.floatRepr(d)
+    case JBool(b) => if (b) "True" else "False"
+    case JNull    => "None"
+    case JArr(xs) => xs.map(pyRepr).mkString("[", ", ", "]")
+    case JObj(es) => es.map { case (k, x) => Py.reprStr(k) + ": " + pyRepr(x) }
+      .mkString("{", ", ", "}")
+  }
+
+  /** Python str() of a parsed-JSON value (the repair ladder stringifies
+    * whatever json.loads produced when it isn't a list,
+    * output_cleaner.py:424): scalars via str(), containers via repr —
+    * so a bare-dict model response flows into the string ladder and ends
+    * as filtered=True, md="" exactly like the reference.
     */
   private def pyStr(v: JValue): String = v match {
     case JStr(s)  => s
@@ -182,7 +198,7 @@ object ExtractTurn {
     case JNum(d)  => Py.floatRepr(d)
     case JBool(b) => if (b) "True" else "False"
     case JNull    => "None"
-    case other    => throw new UnsupportedOperationException(s"repr() of container: $other")
+    case container => pyRepr(container)
   }
 
   /** layout_utils.py:202-228 + parser.py:178-251, for one turn. */

@@ -95,6 +95,51 @@ object Py {
     BigInt(sb.toString()) * sign
   }
 
+  /** Python `str.isprintable()` per code point: everything except Other
+    * (Cc/Cf/Cs/Co/Cn) and Separator (Zl/Zp/Zs) categories — but U+0020
+    * space IS printable.
+    */
+  def isPrintable(cp: Int): Boolean = {
+    if (cp == ' ') true
+    else Character.getType(cp) match {
+      case Character.CONTROL | Character.FORMAT | Character.SURROGATE |
+           Character.PRIVATE_USE | Character.UNASSIGNED |
+           Character.LINE_SEPARATOR | Character.PARAGRAPH_SEPARATOR |
+           Character.SPACE_SEPARATOR => false
+      case _ => true
+    }
+  }
+
+  /** Python `repr(str)`: single quotes unless the string contains `'` but
+    * no `"`; escapes backslash, the quote, \n \r \t; non-printable code
+    * points as \xXX / \uXXXX / \UXXXXXXXX. Needed because the reference
+    * stringifies parsed non-list JSON with `str()` before the repair ladder
+    * (output_cleaner.py:424) and str(dict/list) is repr of the contents.
+    */
+  def reprStr(s: String): String = {
+    val hasSingle = s.indexOf('\'') >= 0
+    val hasDouble = s.indexOf('"') >= 0
+    val quote: Char = if (hasSingle && !hasDouble) '"' else '\''
+    val sb = new java.lang.StringBuilder(s.length + 2)
+    sb.append(quote)
+    var i = 0
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      if (cp == quote) sb.append('\\').append(quote)
+      else if (cp == '\\') sb.append("\\\\")
+      else if (cp == '\n') sb.append("\\n")
+      else if (cp == '\r') sb.append("\\r")
+      else if (cp == '\t') sb.append("\\t")
+      else if (isPrintable(cp)) sb.appendCodePoint(cp)
+      else if (cp <= 0xff) sb.append(f"\\x$cp%02x")
+      else if (cp <= 0xffff) sb.append(f"\\u$cp%04x")
+      else sb.append(f"\\U$cp%08x")
+      i += Character.charCount(cp)
+    }
+    sb.append(quote)
+    sb.toString
+  }
+
   /** Python `repr(float)` — shortest round-trip digits, fixed notation for
     * decimal exponent in [-4, 15], else scientific with `e±NN`.
     * Needed so json.dumps of float-valued cell fields matches CPython bytes.

@@ -97,17 +97,23 @@ class GoldenSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   test("error rows are carried with reason, never dropped (Q4)") {
     import graft.pipeline.{ExtractTurn, Turn}
-    // top-level JSON dict: strict parse succeeds (non-list), the repair
-    // ladder would need Python dict-repr — declared unsupported divergence,
-    // must surface as a status='error' row with a reason, not vanish
-    val r = ExtractTurn(Turn("conv-x", 0, "user", """{"bbox": [1, 2, 3, 4]}""",
+    // Formula text that preamble-cleans to empty: CPython raises IndexError
+    // at text[0] (task death in the reference); here it must surface as a
+    // status='error' row with a reason, not vanish
+    val r = ExtractTurn(Turn("conv-x", 0, "user",
+      """[{"bbox": [1, 2, 30, 40], "category": "Formula", "text": "\\usepackage{x}"}]""",
       "prompt_layout_all_en"))
     assert(r.status === "error")
-    assert(r.error_reason.exists(_.contains("repr")))
+    assert(r.error_reason.exists(_.contains("IndexError")))
     assert(r.filtered)
     // non-layout mode passes any payload through untouched
     val ok = ExtractTurn(Turn("conv-x", 1, "user", "free text", "prompt_ocr"))
     assert(ok.status === "ok" && ok.md.contains("free text"))
+    // top-level JSON dict takes the str(dict)-repr repair path (no longer an
+    // error row): filtered=True, md="" like the reference
+    val d = ExtractTurn(Turn("conv-x", 2, "user", """{"bbox": [1, 2, 3, 4]}""",
+      "prompt_layout_all_en"))
+    assert(d.status === "ok" && d.filtered && d.md.contains(""))
   }
 
   test("PageGeom matches the generator's shape function") {

@@ -265,6 +265,36 @@ def make_payload(cls, rng, iw, ih):
         ])
     if cls == "P9scalar":  # valid JSON scalar → str() path in cleaner
         return json.dumps(rng.choice(["just a string", "another response"]))
+    if cls == "P9dict":  # valid JSON dict (not list) → str(dict) = repr path
+        cell = mk_cell(rng, iw, ih, cat="Text")
+        return json.dumps(cell, ensure_ascii=False)
+    if cls == "P9dict2":  # dict with repr-stressing values (quotes, escapes,
+        # unicode, floats, nested list) → single-quote repr into the ladder
+        d = {"bbox": [1.5, -2, 30, 40], "category": "Text",
+             "text": "it's got \"both\" quotes\nand\ttabs é中",
+             "extra": [1, 2.25, True, None, {"k": "v"}]}
+        return json.dumps(d, ensure_ascii=False)
+    if cls == "P0mixedkeys":  # C9 numeric key equality: 1 == 1.0 in Python
+        # dict keys, so int/float duplicate bboxes dedup together. The
+        # 3-coord cell forces the repair path (list mode).
+        a = {"bbox": [100, 100, 200, 200], "category": "Text", "text": "int box"}
+        b = {"bbox": [100.0, 100.0, 200.0, 200.0], "category": "Title", "text": "float box"}
+        three = {"bbox": [1, 2, 3], "category": "Caption", "text": "tri"}
+        return dumps([a, three, b, mk_cell(rng, iw, ih, cat="Footnote")])
+    if cls == "P0numpair":  # unit-only: numeric (category,text) pair keys —
+        # text 7 vs 7.0 count as ONE key (>=5 -> dedup). Never enters the
+        # corpus: a kept int text would make the reference's md join raise.
+        reps = [{"bbox": [10 * i, 5, 10 * i + 9, 30], "category": "Text", "text": 7}
+                for i in range(3)]
+        repsf = [{"bbox": [11 * i, 50, 11 * i + 9, 70], "category": "Text", "text": 7.0}
+                 for i in range(2)]
+        three = {"bbox": [1, 2, 3], "category": "Caption", "text": "tri"}
+        return dumps(reps + [three] + repsf)
+    if cls == "P0unhashable":  # C9 TypeError: tuple(bbox) with a nested list
+        # is unhashable → clean_model_output returns the ORIGINAL list
+        good = mk_cell(rng, iw, ih, cat="Text")
+        bad = {"bbox": [1, [2], 3, 4], "category": "Caption", "text": "nested"}
+        return dumps([good, bad, mk_cell(rng, iw, ih, cat="Title")])
     if cls == "raw":  # P14 payload for non-JSON modes
         return rng.choice(TEXT_POOL) + "\n\n" + rng.choice(TEXT_POOL)
     raise ValueError(cls)
@@ -277,7 +307,8 @@ CLASS_WHEEL = (
     ["P0rich"] * 6 + ["P0illegal"] * 2 +
     ["P1"] * 4 + ["P2"] * 4 + ["P2long"] * 1 + ["P3"] * 4 + ["P4"] * 3 +
     ["P5"] * 3 + ["P6"] * 3 + ["P7"] * 3 + ["P8"] * 2 + ["P8list"] * 2 +
-    ["P9"] * 3 + ["P9scalar"] * 1
+    ["P9"] * 3 + ["P9scalar"] * 1 +
+    ["P9dict"] * 2 + ["P9dict2"] * 1 + ["P0mixedkeys"] * 2 + ["P0unhashable"] * 2
 )
 TOOL_WHEEL = (
     ["prompt_layout_all_en"] * 70 + ["prompt_layout_only_en"] * 10 +
@@ -452,19 +483,22 @@ def write_unit_fixtures(resdir):
     rng = random.Random(4242)
     recs = []
     for cls in ["P1", "P2", "P2long", "P3", "P4", "P5", "P6", "P7", "P8",
-                "P8list", "P9", "P9scalar", "P0"]:
+                "P8list", "P9", "P9scalar", "P0", "P0mixedkeys", "P0numpair",
+                "P0unhashable"]:
+        LIST_CLS = ("P7", "P8list", "P0", "P0mixedkeys", "P0numpair",
+                    "P0unhashable")
         for rep in range(3):
             payload = make_payload(cls, random.Random(rng.randrange(1 << 30)),
                                    1232, 1652)
             cleaner = OutputCleaner()
             with contextlib.redirect_stdout(io.StringIO()):
-                if cls in ("P7", "P8list", "P0"):
+                if cls in LIST_CLS:
                     # list path: parsed JSON list like post_process_output does
                     out = cleaner.clean_model_output(json.loads(payload))
                 else:
                     out = cleaner.clean_model_output(payload)
             if isinstance(out, list):
-                rec = {"name": f"{cls}_{rep}", "mode": "list" if cls in ("P7", "P8list", "P0") else "str",
+                rec = {"name": f"{cls}_{rep}", "mode": "list" if cls in LIST_CLS else "str",
                        "input": payload, "output": json.dumps(out, ensure_ascii=False)}
             else:
                 rec = {"name": f"{cls}_{rep}", "mode": "str", "input": payload,
