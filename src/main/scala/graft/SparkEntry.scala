@@ -209,7 +209,7 @@ object SparkEntry {
       s"""SELECT count(*) AS total_cases, CAST(sum(CASE WHEN filtered THEN 1 ELSE 0 END) AS BIGINT) AS filtered_cases, CAST(sum(length(coalesce(md,''))) AS BIGINT) AS total_md_chars FROM read_parquet('$ExpectedT2')""",
 
     "doc_fanin" ->
-      s"""SELECT conv_id, string_agg(md, e'\\n\\n---\\n\\n' ORDER BY turn_idx) AS doc_md, count(*) AS n_pages FROM read_parquet('$ExpectedT2') WHERE md IS NOT NULL GROUP BY conv_id ORDER BY conv_id""",
+      s"""SELECT conv_id, string_agg(md, e'\\n\\n---\\n\\n' ORDER BY turn_idx, md) AS doc_md, count(*) AS n_pages FROM read_parquet('$ExpectedT2') WHERE md IS NOT NULL GROUP BY conv_id ORDER BY conv_id""",
 
     "extract_range" ->
       s"""SELECT conv_id, turn_idx, cells_json, md, filtered FROM read_parquet('$ExpectedT2') WHERE turn_idx BETWEEN 2 AND 5 ORDER BY conv_id, turn_idx""",

@@ -78,21 +78,45 @@ object Extract {
   }
 
   /** Conversation fan-in (A3, demo/demo_gradio.py:414-454): pages sorted by
-    * turn_idx, markdown joined with "\n\n---\n\n". Expressed with
-    * sort_array over collected (turn_idx, md) structs — one shuffle, and the
-    * per-group sort is on the collected array, not a global sort.
+    * turn_idx, markdown joined with "\n\n---\n\n".
+    *
+    * Scale shape: range-partition on conv_id (equal keys always land in ONE
+    * partition) + partition-local sort, then a STREAMING per-group concat in
+    * mapPartitions. Unlike collect_list + sort_array (the round-1 form), no
+    * per-key aggregation buffer holds a conversation's rows as an array —
+    * a 1M-turn conversation costs only its output string, which is the
+    * operator's result and therefore irreducible. Sort keys include md so
+    * the order is total even under duplicate turn_idx.
     */
   def docFanIn(results: DataFrame): DataFrame = {
-    results
+    import results.sparkSession.implicits._
+    val rows = results
       .where(col("md").isNotNull)
-      .groupBy(col("conv_id"))
-      .agg(
-        array_join(
-          transform(
-            sort_array(collect_list(struct(col("turn_idx"), col("md")))),
-            x => x.getField("md")),
-          "\n\n---\n\n").as("doc_md"),
-        count(lit(1)).as("n_pages"))
+      .select(col("conv_id"), col("turn_idx").cast("int"), col("md"))
+      .repartitionByRange(col("conv_id"))
+      .sortWithinPartitions(col("conv_id"), col("turn_idx"), col("md"))
+      .as[(String, Int, String)]
+    rows.mapPartitions { it =>
+      new Iterator[(String, String, Long)] {
+        // one-row lookahead: `head` is the first row of the next group
+        private var head: (String, Int, String) =
+          if (it.hasNext) it.next() else null
+        def hasNext: Boolean = head != null
+        def next(): (String, String, Long) = {
+          val conv = head._1
+          val sb = new java.lang.StringBuilder(head._3)
+          var n = 1L
+          var continue = true
+          while (continue) {
+            val r = if (it.hasNext) it.next() else null
+            if (r == null) { head = null; continue = false }
+            else if (r._1 == conv) { sb.append("\n\n---\n\n").append(r._3); n += 1 }
+            else { head = r; continue = false }
+          }
+          (conv, sb.toString, n)
+        }
+      }
+    }.toDF("conv_id", "doc_md", "n_pages")
   }
 
   /** Corpus report aggregates (A2, output_cleaner.py:528-597) as one

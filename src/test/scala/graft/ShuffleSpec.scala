@@ -48,6 +48,28 @@ class ShuffleSpec extends AnyFunSuite with BeforeAndAfterAll {
       "no partition should hold more than half the conversation")
   }
 
+  test("docFanIn streams per-group concat: no collect_list buffer, giant conv ok") {
+    val s = spark
+    import s.implicits._
+    // one 60k-turn conversation plus small ones: the old collect_list form
+    // materialized the whole group as ONE aggregation-buffer array
+    val giant = (0 until 60000).map(i => ("conv-giant", i, s"turn $i md"))
+    val small = (0 until 5).flatMap(c => (0 until 3).map(i => (s"conv-$c", i, s"c$c t$i")))
+    val df = (giant ++ small).toDF("conv_id", "turn_idx", "md")
+      .repartition(8) // scrambled input order
+    val out = Extract.docFanIn(df)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("collect_list"),
+      s"fan-in must not buffer groups via collect_list:\n${plan.take(1500)}")
+    val byConv = out.collect().map(r => r.getString(0) -> (r.getString(1), r.getLong(2))).toMap
+    assert(byConv("conv-giant")._2 === 60000L)
+    val gmd = byConv("conv-giant")._1
+    assert(gmd.startsWith("turn 0 md\n\n---\n\nturn 1 md"))
+    assert(gmd.endsWith("turn 59999 md"))
+    assert(byConv("conv-2") === (("c2 t0\n\n---\n\nc2 t1\n\n---\n\nc2 t2", 3L)))
+    assert(byConv.size === 6)
+  }
+
   test("bucketed tables join without an Exchange (co-located join)") {
     val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
     li.write.mode("overwrite").bucketBy(8, "l_orderkey")
