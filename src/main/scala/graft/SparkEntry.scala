@@ -73,6 +73,30 @@ object SparkEntry {
         .orderBy("conv_id", "turn_idx")
     }),
 
+    // P6/P14 end-to-end: prompt dispatch incl. grounding-mode bbox
+    // preprocessing + Python str(list) injection (parser.py:133-140,
+    // layout_utils.py:115-144). The per-turn bbox is the deterministic
+    // fixture-contract derivation; the oracle reads the golden parquet
+    // produced by the reference's own pre_process_bboxes.
+    "prompt_build" -> ((s, _) => {
+      import s.implicits._
+      import graft.pipeline.{PageGeom, Prompts}
+      Extract.readTranscripts(s, TranscriptsT2)
+        .filter(t => Prompts.dictPromptModeToPrompt.contains(t.tool))
+        .map { t =>
+          val (oh, ow) = PageGeom.of(t.conv_id, t.turn_idx)
+          val (ih, iw) = graft.geom.SmartResize.smartResize(oh, ow)
+          val bbox =
+            if (t.tool == "prompt_grounding_ocr")
+              Some(Prompts.groundingBbox(t.conv_id, t.turn_idx, ow, oh))
+            else None
+          (t.conv_id, t.turn_idx, t.tool,
+            Prompts.getPrompt(t.tool, bbox, ow, oh, iw, ih))
+        }
+        .toDF("conv_id", "turn_idx", "tool", "prompt")
+        .orderBy("conv_id", "turn_idx")
+    }),
+
     // ---- relational operators over the sfDir tables ----
     // A2-style hash aggregation with partial aggregation (TPC-H Q1 shape)
     "q1_agg" -> ((s, dir) => {
@@ -97,6 +121,55 @@ object SparkEntry {
           count(lit(1)).as("n_items"))
         .orderBy(col("revenue").desc, col("o_orderkey"))
         .limit(10)
+    }),
+
+    // TPC-H Q5 shape: 6-table join — nation/region broadcast, the
+    // customer⋈orders⋈lineitem⋈supplier chain shuffles on its keys with
+    // partial aggregation on n_name (one small final shuffle)
+    "q5_join" -> ((s, dir) => {
+      val c = s.read.parquet(s"$dir/customer.parquet")
+      val o = s.read.parquet(s"$dir/orders.parquet")
+      val l = s.read.parquet(s"$dir/lineitem.parquet")
+      val su = s.read.parquet(s"$dir/supplier.parquet")
+      val n = s.read.parquet(s"$dir/nation.parquet")
+      val r = s.read.parquet(s"$dir/region.parquet")
+      c.join(o, c("c_custkey") === o("o_custkey"))
+        .join(l, l("l_orderkey") === o("o_orderkey"))
+        .join(su, l("l_suppkey") === su("s_suppkey") &&
+          su("s_nationkey") === c("c_nationkey"))
+        .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+        .where(r("r_name") === "ASIA")
+        .groupBy(col("n_name"))
+        .agg(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"))
+        .orderBy(col("revenue").desc, col("n_name"))
+    }),
+
+    // left-anti join (the resume/J1 shape promoted into the driver
+    // contract): customers with no order since 2001
+    "q_antijoin" -> ((s, dir) => {
+      val c = s.read.parquet(s"$dir/customer.parquet")
+      val recent = s.read.parquet(s"$dir/orders.parquet")
+        .where(col("o_orderdate") >= lit("2001-01-01").cast("timestamp"))
+      c.join(recent, c("c_custkey") === recent("o_custkey"), "left_anti")
+        .select(col("c_custkey"), col("c_name"))
+        .orderBy(col("c_custkey"))
+    }),
+
+    // S3 payload decode: a data: URI column is split and base64-decoded with
+    // built-ins (unbase64/substring_index) — the multi-protocol fetch's
+    // payload branch (image_utils.py:84-140) as a relational op
+    "payload_decode" -> ((s, dir) => {
+      val uri = concat(lit("data:text/plain;base64,"),
+        base64(col("text").cast("binary")))
+      docs(s, dir).select(col("doc_id"), uri.as("uri"))
+        .select(col("doc_id"),
+          substring_index(col("uri"), ":", 1).as("proto"),
+          unbase64(substring_index(col("uri"), ",", -1)).as("payload"))
+        .select(col("doc_id"), col("proto"),
+          md5(col("payload")).as("content_md5"),
+          length(col("payload")).as("n_bytes"))
+        .orderBy(col("doc_id"))
     }),
 
     // O5 relational form: first-occurrence dedup via row_number()=1
@@ -216,6 +289,18 @@ object SparkEntry {
 
     "eval_md" ->
       s"""SELECT conv_id, turn_idx, coalesce(md_nohf, md) AS eval_md FROM read_parquet('$ExpectedT2') ORDER BY conv_id, turn_idx""",
+
+    "prompt_build" ->
+      s"""SELECT conv_id, turn_idx, tool, prompt FROM read_parquet('${ExpectedT2.replace("expected_t2", "expected_prompts_t2")}') ORDER BY conv_id, turn_idx""",
+
+    "q5_join" ->
+      """SELECT n_name, sum(l_extendedprice * (1 - l_discount)) AS revenue FROM customer JOIN orders ON c_custkey = o_custkey JOIN lineitem ON l_orderkey = o_orderkey JOIN supplier ON l_suppkey = s_suppkey AND s_nationkey = c_nationkey JOIN nation ON c_nationkey = n_nationkey JOIN region ON n_regionkey = r_regionkey WHERE r_name = 'ASIA' GROUP BY n_name ORDER BY revenue DESC, n_name""",
+
+    "q_antijoin" ->
+      """SELECT c_custkey, c_name FROM customer WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderdate >= TIMESTAMP '2001-01-01') ORDER BY c_custkey""",
+
+    "payload_decode" ->
+      """SELECT doc_id, 'data' AS proto, md5(decode(from_base64(to_base64(encode(text))))) AS content_md5, CAST(octet_length(from_base64(to_base64(encode(text)))) AS BIGINT) AS n_bytes FROM documents ORDER BY doc_id""",
 
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty, sum(l_extendedprice) AS sum_base_price, sum(l_extendedprice * (1 - l_discount)) AS sum_disc_price, avg(l_discount) AS avg_disc, count(*) AS count_order FROM lineitem GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""",

@@ -63,6 +63,22 @@ object Prompts {
       SmartResize.scaleCoord(bbox(3).toDouble, scaleY))
   }
 
+  /** Deterministic per-turn grounding bbox in ORIGINAL image space — the
+    * transcript table carries no bbox column, so the fixture contract derives
+    * one from (conv_id, turn_idx) exactly like tools/gen_fixtures.py gbox():
+    * four 16-bit slices of fnv1a64("conv#turn#gbox") pick origin and size.
+    */
+  def groundingBbox(convId: String, turnIdx: Int, origW: Int, origH: Int): Array[Int] = {
+    val h = PageGeom.fnv1a64(s"$convId#$turnIdx#gbox")
+    val a = ((h >>> 0) & 0xffff).toInt
+    val b = ((h >>> 16) & 0xffff).toInt
+    val c = ((h >>> 32) & 0xffff).toInt
+    val d = ((h >>> 48) & 0xffff).toInt
+    val x1 = a % math.max(1, origW - 40)
+    val y1 = b % math.max(1, origH - 40)
+    Array(x1, y1, x1 + 10 + c % 400, y1 + 10 + d % 200)
+  }
+
   /** parser.py:133-140 `get_prompt` — grounding mode appends Python
     * `str([x1, y1, x2, y2])`.
     */

@@ -63,8 +63,9 @@ sys.modules.setdefault("pydantic", pyd)
 sys.path.insert(0, REF)
 from dots_ocr.utils.image_utils import smart_resize           # noqa: E402
 from dots_ocr.utils import format_transformer as ft           # noqa: E402
-from dots_ocr.utils.layout_utils import post_process_output   # noqa: E402
+from dots_ocr.utils.layout_utils import post_process_output, pre_process_bboxes  # noqa: E402
 from dots_ocr.utils.output_cleaner import OutputCleaner       # noqa: E402
+from dots_ocr.utils.prompts import dict_promptmode_to_prompt  # noqa: E402
 
 # Picture placeholder patch (declared divergence, SURVEY §7.4.5)
 ft.PILimage_to_base64 = lambda crop: "bbox:%d,%d,%d,%d" % crop
@@ -96,6 +97,17 @@ def fnv1a64(s: str) -> int:
 
 def geom(conv_id: str, turn_idx: int):
     return SHAPES[fnv1a64(f"{conv_id}#{turn_idx}") % len(SHAPES)]
+
+
+def gbox(conv_id: str, turn_idx: int, w: int, h: int):
+    """Deterministic grounding bbox in original space — MUST match
+    graft.pipeline.Prompts.groundingBbox (Scala)."""
+    hv = fnv1a64(f"{conv_id}#{turn_idx}#gbox")
+    a, b = hv & 0xFFFF, (hv >> 16) & 0xFFFF
+    c, d = (hv >> 32) & 0xFFFF, (hv >> 48) & 0xFFFF
+    x1 = a % max(1, w - 40)
+    y1 = b % max(1, h - 40)
+    return [x1, y1, x1 + 10 + c % 400, y1 + 10 + d % 200]
 
 
 # ---------------------------------------------------------------- payloads
@@ -418,6 +430,37 @@ def expected_row(conv, k, role, tool, text):
     return base
 
 
+def expected_prompt(conv, k, tool):
+    """parser.py:133-140 get_prompt, executed via the reference's own
+    pre_process_bboxes + prompt dict. Returns None for modes the reference's
+    dict does not contain (get_prompt would KeyError)."""
+    if tool not in dict_promptmode_to_prompt:
+        return None
+    prompt = dict_promptmode_to_prompt[tool]
+    if tool == "prompt_grounding_ocr":
+        h, w = geom(conv, k)
+        ih, iw = smart_resize(h, w)
+        bbox = gbox(conv, k, w, h)
+        pre = pre_process_bboxes(FakeImage(w, h), [bbox],
+                                 input_width=iw, input_height=ih)[0]
+        prompt = prompt + str(pre)
+    return prompt
+
+
+def write_expected_prompts(rows, path):
+    recs = [(c, k, tool, expected_prompt(c, k, tool))
+            for (c, k, _r, _t, tool, _ts) in rows]
+    recs = [r for r in recs if r[3] is not None]
+    t = pa.table({
+        "conv_id": pa.array([r[0] for r in recs], pa.string()),
+        "turn_idx": pa.array([r[1] for r in recs], pa.int32()),
+        "tool": pa.array([r[2] for r in recs], pa.string()),
+        "prompt": pa.array([r[3] for r in recs], pa.string()),
+    })
+    pq.write_table(t, path, row_group_size=4096)
+    print(f"expected prompts: {len(recs)} rows -> {path}")
+
+
 # ---------------------------------------------------------------- writers
 def write_transcripts(tier, rows, outdir):
     os.makedirs(outdir, exist_ok=True)
@@ -538,6 +581,7 @@ def main():
     write_transcripts("bench", bench, os.path.join(REPO, "data", "transcripts_bench"))
     write_expected(t1, os.path.join(res, "expected_t1.parquet"))
     write_expected(t2, os.path.join(res, "expected_t2.parquet"))
+    write_expected_prompts(t2, os.path.join(res, "expected_prompts_t2.parquet"))
     write_unit_fixtures(res)
 
 
