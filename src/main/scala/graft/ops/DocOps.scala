@@ -90,11 +90,54 @@ object DocOps {
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
   }
 
-  /** Full MinHash+LSH near-dup pipeline with exact verification. */
+  /** Full MinHash+LSH near-dup pipeline with exact verification.
+    *
+    * Scale hardening (round 2): identical texts collapse to ONE
+    * representative (min doc_id per md5 digest) BEFORE shingling — a
+    * degenerate cluster of k identical documents would otherwise put k
+    * copies into every one of its LSH buckets (k² candidate pairs through
+    * the shuffle); after collapsing it costs one representative plus a
+    * digest-keyed expansion join. The shingle table persists on DISK_ONLY:
+    * at corpus scale the distinct-shingle explosion is larger than the
+    * corpus itself and an in-memory cache would thrash. Output semantics
+    * are unchanged (verified by the LSH≡brute spec): cross-group pairs
+    * inherit their representatives' exact Jaccard (identical shingle sets),
+    * within-group pairs are J=1.0 by definition — emitted only for groups
+    * whose text shingles at all (≥ k words), like the direct formulation.
+    */
   def nearDups(docs: DataFrame, tau: Double = 0.5): DataFrame = {
-    val sh = shingles(docs).cache()
-    val cands = lshCandidates(lshBands(minhashSignatures(sh)))
-    verifyJaccard(cands, sh, tau).orderBy(col("doc_a"), col("doc_b"))
+    val members = docs.select(md5(col("text")).as("g"), col("doc_id"))
+    val reps = members.groupBy(col("g"))
+      .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_members"))
+    val repDocs = docs.join(reps.select(col("doc_id")), Seq("doc_id"), "left_semi")
+
+    val sh = shingles(repDocs)
+      .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
+    val repPairs =
+      verifyJaccard(lshCandidates(lshBands(minhashSignatures(sh))), sh, tau)
+
+    // expand representative pairs to every (member of A, member of B)
+    val repToG = reps.select(col("g"), col("doc_id").as("rep"))
+    val cross = repPairs
+      .join(repToG.select(col("g").as("ga"), col("rep").as("doc_a")), Seq("doc_a"))
+      .join(repToG.select(col("g").as("gb"), col("rep").as("doc_b")), Seq("doc_b"))
+      .join(members.select(col("g").as("ga"), col("doc_id").as("a")), Seq("ga"))
+      .join(members.select(col("g").as("gb"), col("doc_id").as("b")), Seq("gb"))
+      .select(least(col("a"), col("b")).as("doc_a"),
+        greatest(col("a"), col("b")).as("doc_b"), col("jaccard"))
+
+    // identical-doc pairs (J = 1.0), only where the text produces shingles
+    val shingledReps = sh.select(col("doc_id")).distinct()
+    val dupGroups = reps.where(col("n_members") >= 2)
+      .join(shingledReps, Seq("doc_id"), "left_semi")
+      .select(col("g"))
+    val m1 = members.join(dupGroups, Seq("g")).select(col("g"), col("doc_id").as("doc_a"))
+    val m2 = members.join(dupGroups, Seq("g")).select(col("g"), col("doc_id").as("doc_b"))
+    val within = m1.join(m2, Seq("g"))
+      .where(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"), lit(1.0).as("jaccard"))
+
+    cross.union(within).orderBy(col("doc_a"), col("doc_b"))
   }
 
   /** Brute-force n-gram Jaccard over ALL pairs via shingle inverted index —

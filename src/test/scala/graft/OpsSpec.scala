@@ -38,6 +38,30 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(lsh.nonEmpty, "corpus should contain planted near-dups")
   }
 
+  test("LSH candidate-join inputs never carry the text column; identical docs collapse") {
+    // no full-text column crosses the candidate shuffle: every join feeding
+    // candidate generation projects only ids/bands/hashes
+    val cands = DocOps.lshCandidates(DocOps.lshBands(
+      DocOps.minhashSignatures(DocOps.shingles(docs))))
+    val joins = cands.queryExecution.optimizedPlan.collect {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join => j
+    }
+    assert(joins.nonEmpty)
+    assert(joins.forall(_.children.forall(_.output.forall(_.name != "text"))))
+
+    // degenerate cluster: k identical docs produce k*(k-1)/2 J=1.0 pairs but
+    // only ONE representative enters the LSH bucket space
+    val s = spark
+    import s.implicits._
+    val k = 6
+    val dup = (0 until k).map(i => (i.toLong, "alpha beta gamma delta epsilon"))
+    val uniq = Seq((100L, "a completely different sentence with several words here"))
+    val d = (dup ++ uniq).toDF("doc_id", "text")
+    val pairs = DocOps.nearDups(d, 0.5).collect()
+    assert(pairs.length === k * (k - 1) / 2)
+    assert(pairs.forall(_.getDouble(2) === 1.0))
+  }
+
   test("SimHash: near-dup pairs have small hamming distance; identical text -> 0") {
     val fps = DocOps.simhash(docs).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toMap
