@@ -51,14 +51,19 @@ object Profile {
     val rows = Extract.readTranscripts(spark, "/root/repo/data/transcripts_t2").collect()
     spark.stop()
     val n = rows.length
+    val tmx = java.lang.management.ManagementFactory.getThreadMXBean
+      .asInstanceOf[com.sun.management.ThreadMXBean]
     def bench(name: String, reps: Int)(f: Turn => Any): Unit = {
       var i = 0
       while (i < 2) { rows.foreach(f); i += 1 } // warmup
+      val tid = Thread.currentThread().getId
+      val a0 = tmx.getThreadAllocatedBytes(tid)
       val t0 = System.nanoTime()
       i = 0
       while (i < reps) { rows.foreach(f); i += 1 }
       val perTurn = (System.nanoTime() - t0).toDouble / (n.toLong * reps)
-      println(f"MICRO $name ${perTurn / 1000}%.2f us/turn")
+      val allocPerTurn = (tmx.getThreadAllocatedBytes(tid) - a0).toDouble / (n.toLong * reps)
+      println(f"MICRO $name ${perTurn / 1000}%.2f us/turn  alloc ${allocPerTurn}%.0f B/turn")
     }
     bench("full_extract", 5)(ExtractTurn.apply)
     bench("pyjson_parse_only", 5) { t =>
@@ -69,6 +74,51 @@ object Profile {
       catch { case _: Exception => null }
     }
     bench("geom_only", 5)(t => graft.pipeline.PageGeom.of(t.conv_id, t.turn_idx))
+    val avgLen = rows.map(_.text.length.toLong).sum / n
+    println(s"MICRO avg_payload_chars $avgLen")
+
+    // stage splits over the strictly-parsing subset (cells pre-rescaled)
+    import graft.json.{JArr, JValue}
+    import graft.pipeline.PageGeom
+    import graft.geom.SmartResize
+    val parsed: Array[(Turn, Vector[JValue])] = rows.flatMap { t =>
+      if (t.tool == "prompt_layout_all_en") {
+        try {
+          val (oh, ow) = PageGeom.of(t.conv_id, t.turn_idx)
+          val (ih, iw) = SmartResize.smartResize(oh, ow)
+          graft.json.PyJson.parse(t.text) match {
+            case JArr(xs) => Some((t, ExtractTurn.postProcessCells(xs, ow, oh, iw, ih)))
+            case _        => None
+          }
+        } catch { case _: Exception => None }
+      } else None
+    }
+    val pn = parsed.length
+    println(s"MICRO strict_parse_rows $pn")
+    def bench2(name: String, reps: Int)(f: ((Turn, Vector[JValue])) => Any): Unit = {
+      var i = 0
+      while (i < 2) { parsed.foreach(f); i += 1 }
+      val tid = Thread.currentThread().getId
+      val a0 = tmx.getThreadAllocatedBytes(tid)
+      val t0 = System.nanoTime()
+      i = 0
+      while (i < reps) { parsed.foreach(f); i += 1 }
+      val perTurn = (System.nanoTime() - t0).toDouble / (pn.toLong * reps)
+      val allocPerTurn = (tmx.getThreadAllocatedBytes(tid) - a0).toDouble / (pn.toLong * reps)
+      println(f"MICRO $name ${perTurn / 1000}%.2f us/row  alloc ${allocPerTurn}%.0f B/row")
+    }
+    bench2("rescale_only", 5) { case (t, _) =>
+      val (oh, ow) = PageGeom.of(t.conv_id, t.turn_idx)
+      val (ih, iw) = SmartResize.smartResize(oh, ow)
+      graft.json.PyJson.parse(t.text) match {
+        case JArr(xs) => ExtractTurn.postProcessCells(xs, ow, oh, iw, ih)
+        case _        => null
+      }
+    }
+    bench2("dump_only", 5) { case (_, cells) => graft.json.PyJson.dumps(JArr(cells)) }
+    bench2("render_only", 5) { case (_, cells) =>
+      graft.render.FormatTransformer.layoutJsonToMdBoth(cells)
+    }
   }
 
   def main(args: Array[String]): Unit = args.headOption match {

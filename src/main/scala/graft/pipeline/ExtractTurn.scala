@@ -146,26 +146,27 @@ object ExtractTurn {
         case other   => throw new KeyErrorLike(s"cell['bbox'] on $other")
       }
       val bbox = cell.get("bbox").getOrElse(throw new KeyErrorLike("bbox"))
-      val coords: Vector[Double] = bbox match {
+      var c0 = 0.0; var c1 = 0.0; var c2 = 0.0; var c3 = 0.0
+      bbox match {
         case JArr(items) =>
           if (items.length < 4) {
             // Python indexes bbox[0..3]; fewer elements → IndexError
             throw new KeyErrorLike("bbox IndexError")
           }
-          Vector(pyFloat(items(0)), pyFloat(items(1)), pyFloat(items(2)), pyFloat(items(3)))
+          c0 = pyFloat(items(0)); c1 = pyFloat(items(1))
+          c2 = pyFloat(items(2)); c3 = pyFloat(items(3))
         case JStr(s) =>
           // CPython quirk: a string bbox is indexable; float(char) must parse
           if (s.length < 4) throw new KeyErrorLike("bbox IndexError")
-          Vector(pyFloat(JStr(s.charAt(0).toString)), pyFloat(JStr(s.charAt(1).toString)),
-            pyFloat(JStr(s.charAt(2).toString)), pyFloat(JStr(s.charAt(3).toString)))
+          c0 = pyFloat(JStr(s.charAt(0).toString)); c1 = pyFloat(JStr(s.charAt(1).toString))
+          c2 = pyFloat(JStr(s.charAt(2).toString)); c3 = pyFloat(JStr(s.charAt(3).toString))
         case other => throw new KeyErrorLike(s"bbox not indexable: $other")
       }
-      val rescaled = JArr(Vector(
-        JInt(SmartResize.scaleCoord(coords(0), scaleX)),
-        JInt(SmartResize.scaleCoord(coords(1), scaleY)),
-        JInt(SmartResize.scaleCoord(coords(2), scaleX)),
-        JInt(SmartResize.scaleCoord(coords(3), scaleY))
-      ).map(i => i: JValue))
+      val rescaled = JArr(Vector[JValue](
+        JInt(SmartResize.scaleCoord(c0, scaleX)),
+        JInt(SmartResize.scaleCoord(c1, scaleY)),
+        JInt(SmartResize.scaleCoord(c2, scaleX)),
+        JInt(SmartResize.scaleCoord(c3, scaleY))))
       cell.put("bbox", rescaled) // in-place key position, like dict copy+assign
     }
   }
@@ -228,7 +229,7 @@ object ExtractTurn {
 
         strictResult match {
           case Some(rescaled) =>
-            val cellsJson = PyJson.dumps(JArr(rescaled))
+            val cellsJson = PyJson.dumps(JArr(rescaled), t.text.length + 64)
             if (t.tool == "prompt_layout_only_en") {
               TurnResult(t.conv_id, t.turn_idx, t.role, t.tool, origW, origH, iw, ih,
                 cells_json = Some(cellsJson), md = None, md_nohf = None,

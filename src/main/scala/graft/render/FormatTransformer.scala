@@ -165,10 +165,14 @@ object FormatTransformer {
 
   private def assemble(pieces: Vector[(String, String)],
                        noPageHf: Boolean): (String, Vector[Span]) = {
-    val sb = new java.lang.StringBuilder
+    var cap = 2 * pieces.length
+    pieces.foreach(cap += _._2.length)
+    val sb = new java.lang.StringBuilder(math.max(cap, 16))
     val spans = Vector.newBuilder[Span]
     var first = true
-    pieces.zipWithIndex.foreach { case ((category, piece), i) =>
+    var i = 0
+    while (i < pieces.length) {
+      val (category, piece) = pieces(i)
       if (!(noPageHf && (category == "Page-header" || category == "Page-footer"))) {
         if (!first) sb.append("\n\n")
         first = false
@@ -176,6 +180,7 @@ object FormatTransformer {
         sb.append(piece)
         spans += Span(i, category, start, sb.length())
       }
+      i += 1
     }
     (sb.toString, spans.result())
   }
