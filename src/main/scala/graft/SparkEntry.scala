@@ -145,6 +145,24 @@ object SparkEntry {
         .orderBy(col("revenue").desc, col("n_name"))
     }),
 
+    // correlated scalar subquery (TPC-H Q17 shape): Catalyst decorrelates
+    // the per-part average into an aggregate + join — optimizer breadth
+    // beyond plain equi-joins
+    "q17_subquery" -> ((s, dir) => {
+      s.read.parquet(s"$dir/lineitem.parquet").createOrReplaceTempView("lineitem_v")
+      s.read.parquet(s"$dir/part.parquet").createOrReplaceTempView("part_v")
+      s.sql(
+        """SELECT p_partkey, count(*) AS n_small,
+           CAST(sum(l_extendedprice) AS DOUBLE) AS small_revenue
+           FROM lineitem_v JOIN part_v ON p_partkey = l_partkey
+           WHERE p_brand = 'Brand#1'
+             AND l_quantity < (SELECT 0.5 * avg(l_quantity)
+                               FROM lineitem_v l2
+                               WHERE l2.l_partkey = part_v.p_partkey)
+           GROUP BY p_partkey
+           ORDER BY p_partkey""")
+    }),
+
     // left-anti join (the resume/J1 shape promoted into the driver
     // contract): customers with no order since 2001
     "q_antijoin" -> ((s, dir) => {
@@ -298,6 +316,9 @@ object SparkEntry {
 
     "q_antijoin" ->
       """SELECT c_custkey, c_name FROM customer WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderdate >= TIMESTAMP '2001-01-01') ORDER BY c_custkey""",
+
+    "q17_subquery" ->
+      """SELECT p_partkey, count(*) AS n_small, CAST(sum(l_extendedprice) AS DOUBLE) AS small_revenue FROM lineitem JOIN part ON p_partkey = l_partkey WHERE p_brand = 'Brand#1' AND l_quantity < (SELECT 0.5 * avg(l_quantity) FROM lineitem l2 WHERE l2.l_partkey = part.p_partkey) GROUP BY p_partkey ORDER BY p_partkey""",
 
     "payload_decode" ->
       """SELECT doc_id, 'data' AS proto, md5(decode(from_base64(to_base64(encode(text))))) AS content_md5, CAST(octet_length(from_base64(to_base64(encode(text)))) AS BIGINT) AS n_bytes FROM documents ORDER BY doc_id""",
