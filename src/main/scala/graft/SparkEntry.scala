@@ -254,7 +254,7 @@ object SparkEntry {
     "vec_cosine_topk" -> ((s, dir) =>
       VectorOps.cosineTopK(s.read.parquet(s"$dir/embeddings.parquet"))),
 
-    "vec_ann_lsh" -> ((s, dir) => // no SQL oracle; recall tested in ScalaTest
+    "vec_ann_lsh" -> ((s, dir) =>
       VectorOps.annLsh(s.read.parquet(s"$dir/embeddings.parquet"), dim = 64)),
 
     "vec_ann_ivf" -> ((s, dir) =>
@@ -274,8 +274,7 @@ object SparkEntry {
     // ---- multimodal binary-column plumbing (decode step stubbed) ----
     "mm_manifest" -> ((s, dir) => MultimodalOps.assetManifest(docs(s, dir))),
 
-    "mm_decoded" -> ((s, dir) => // rows-only: stub-codec outputs
-      MultimodalOps.decodedSummary(docs(s, dir)))
+    "mm_decoded" -> ((s, dir) => MultimodalOps.decodedSummary(docs(s, dir)))
   )
 
   private def docs(s: SparkSession, dir: String): DataFrame =
@@ -288,8 +287,31 @@ object SparkEntry {
   private val JaccardCte =
     """WITH words AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w FROM documents), sh AS (SELECT DISTINCT doc_id, s FROM (SELECT doc_id, unnest(list_transform(range(1, len(w)-1), i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s FROM words WHERE len(w) >= 3)), cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id), inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i FROM sh a JOIN sh b USING (s) WHERE a.doc_id < b.doc_id GROUP BY 1, 2), pairs AS (SELECT doc_a, doc_b, i*1.0/(ca.n+cb.n-i) AS jaccard FROM inter JOIN cnt ca ON ca.doc_id = doc_a JOIN cnt cb ON cb.doc_id = doc_b WHERE i*1.0/(ca.n+cb.n-i) >= 0.5)"""
 
+  /** Independent DuckDB recompute of the multi-table sign-projection ANN:
+    * the hyperplane constants are embedded as decimal literals (shortest
+    * round-trip digits) and DuckDB's sequential list_dot_product is
+    * bit-exact vs the engine's codegen'd DotProduct (verified), so bucket
+    * assignment, candidate generation, and ranking all reproduce exactly.
+    */
+  private def annLshOracleSql: String = {
+    val dim = 64; val nBits = 10; val nTables = 8; val nQ = 10; val k = 5
+    val lits = VectorOps.planeSqlLiterals(dim, nBits, nTables)
+    val projCols = lits.zipWithIndex
+      .map { case (l, i) => s"list_dot_product(e, $l) AS p$i" }.mkString(", ")
+    val buckets = (0 until nTables).map { t =>
+      val terms = (0 until nBits).map { j =>
+        val w = 1L << (nBits - 1 - j)
+        s"(CASE WHEN p${t * nBits + j} > 0 THEN $w ELSE 0 END)"
+      }.mkString(" + ")
+      s"($terms) AS b$t"
+    }.mkString(", ")
+    val bucketCase = (0 until nTables).map(t => s"WHEN $t THEN b$t").mkString(" ")
+    s"""WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings), proj AS (SELECT vec_id, e, sqrt(list_dot_product(e, e)) AS nrm, $projCols FROM base), buck AS (SELECT vec_id, e, nrm, $buckets FROM proj), coded AS (SELECT vec_id, t.table_id, CASE t.table_id $bucketCase END AS bucket FROM buck CROSS JOIN (SELECT unnest(range($nTables)) AS table_id) t), cand AS (SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS vec_id FROM coded q JOIN coded c ON q.table_id = c.table_id AND q.bucket = c.bucket WHERE q.vec_id < $nQ AND c.vec_id != q.vec_id), scored AS (SELECT cand.query_id, cand.vec_id, list_dot_product(qb.e, v.e) / (qb.nrm * v.nrm) AS c FROM cand JOIN buck v ON v.vec_id = cand.vec_id JOIN buck qb ON qb.vec_id = cand.query_id), r AS (SELECT query_id, vec_id, c, row_number() OVER (PARTITION BY query_id ORDER BY c DESC, vec_id) AS rank FROM scored) SELECT query_id, rank, vec_id AS neighbor_id, round(c, 6) AS cosine FROM r WHERE rank <= $k ORDER BY query_id, rank"""
+  }
+
   /** ANSI SQL oracles (DuckDB). Column names must match the Spark output. */
   def oracleSql: Map[String, String] = Map(
+    "vec_ann_lsh" -> annLshOracleSql,
     "extract_turns" ->
       s"""SELECT conv_id, turn_idx, input_width, input_height, cells_json, md, md_nohf, filtered, spans_json FROM read_parquet('$ExpectedT2') ORDER BY conv_id, turn_idx""",
 
@@ -377,6 +399,12 @@ object SparkEntry {
 
     "mm_manifest" ->
       """SELECT doc_id AS asset_id, CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS media_type, octet_length(encode(text)) AS n_bytes, md5(text) AS content_md5 FROM documents ORDER BY asset_id""",
+
+    // decode stub recomputed independently in Python (FNV dims/duration/
+    // features + the reference's smart_resize), frozen keyed by content
+    // digest — works at any sf dir via the md5 join
+    "mm_decoded" ->
+      s"""SELECT d.doc_id AS asset_id, CASE CAST(d.doc_id % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS media_type, CAST(octet_length(encode(d.text)) AS BIGINT) AS n_bytes, CASE WHEN d.doc_id % 3 = 1 THEN 0 ELSE g.width END AS width, CASE WHEN d.doc_id % 3 = 1 THEN 0 ELSE g.height END AS height, CASE WHEN d.doc_id % 3 = 0 THEN 0 ELSE g.duration_ms END AS duration_ms, CASE WHEN d.doc_id % 3 = 1 THEN 0 ELSE g.resized_width END AS resized_width, CASE WHEN d.doc_id % 3 = 1 THEN 0 ELSE g.resized_height END AS resized_height, CASE WHEN d.doc_id % 3 = 2 THEN g.n_frames ELSE 0 END AS n_frames, g.feature_sq_norm FROM documents d JOIN read_parquet('${ExpectedT2.replace("expected_t2", "mm_decoded_golden")}') g ON md5(d.text) = g.content_md5 ORDER BY asset_id""",
 
     "vec_cosine_topk" ->
       """WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings), q AS (SELECT vec_id AS query_id, e AS qe FROM base WHERE vec_id < 10), scored AS (SELECT query_id, vec_id, list_cosine_similarity(qe, e) AS c FROM base, q WHERE vec_id != query_id), r AS (SELECT query_id, vec_id, c, row_number() OVER (PARTITION BY query_id ORDER BY c DESC, vec_id) AS rank FROM scored) SELECT query_id, rank, vec_id AS neighbor_id, round(c, 6) AS cosine FROM r WHERE rank <= 5 ORDER BY query_id, rank"""

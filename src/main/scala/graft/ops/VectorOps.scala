@@ -58,10 +58,20 @@ object VectorOps {
     z ^ (z >>> 31)
   }
 
-  private def planes(dim: Int, nBits: Int, nTables: Int): Seq[Seq[Double]] =
+  private[graft] def planes(dim: Int, nBits: Int, nTables: Int): Seq[Seq[Double]] =
     (0 until nTables * nBits).map { j =>
       (0 until dim).map(d => splitmix64(j.toLong * 100003 + d).toDouble / Long.MaxValue)
     }
+
+  /** SQL array literals of the hyperplanes (shortest round-trip digits —
+    * a decimal literal parses back to the identical double), so an external
+    * engine can recompute the projections BIT-exactly: its sequential
+    * list_dot_product matches [[graft.functions.DotProduct]]'s left-to-right
+    * summation, making the LSH bucket assignment independently checkable.
+    */
+  private[graft] def planeSqlLiterals(dim: Int, nBits: Int, nTables: Int): Seq[String] =
+    planes(dim, nBits, nTables).map(_.map(d => java.lang.Double.toString(d))
+      .mkString("[", ", ", "]"))
 
   /** Multi-table sign-random-projection codes: (vec_id, table_id, bucket).
     * L independent tables of nBits hyperplanes each — the standard LSH

@@ -504,6 +504,59 @@ def write_expected(rows, path):
     print(f"expected: {len(exp)} rows ({n_filtered} filtered) -> {path}")
 
 
+def write_mm_golden(path):
+    """Digest-keyed golden for the multimodal decode stub (MultimodalOps.
+    StubCodec): FNV-derived dims/duration/features are not SQL-expressible,
+    so this independent Python recompute is the oracle. Keyed by md5(text)
+    it works at ANY sf dir; covers every document text across all three."""
+    import hashlib
+    import struct as st
+    texts = {}
+    for sf in ("sf0.001", "sf0.01", "sf0.1"):
+        f = f"/root/testdata/{sf}/documents.parquet"
+        if os.path.exists(f):
+            t = pq.read_table(f, columns=["text"])
+            for s in t.column("text").to_pylist():
+                texts[hashlib.md5(s.encode("utf-8")).hexdigest()] = s
+
+    def fnv_seed(b, seed):
+        h = (0xcbf29ce484222325 ^ seed) & MASK
+        for x in b:
+            h ^= x
+            h = (h * 0x100000001b3) & MASK
+        return h
+
+    recs = []
+    for md5h, s in sorted(texts.items()):
+        b = s.encode("utf-8")
+        h1 = fnv_seed(b, 1)
+        w = 320 + h1 % 3520
+        hh = 240 + (h1 >> 17) % 1920
+        dur = 1000 + fnv_seed(b, 2) % 599000
+        rh, rw = smart_resize(hh, w)
+        nf = (dur + 9999) // 10000  # len(0 until dur by 10000)
+        sq = 0.0
+        for i in range(16):
+            hx = fnv_seed(b, 100 + i)
+            if hx >= 1 << 63:
+                hx -= 1 << 64  # to signed, like Scala Long
+            f32 = st.unpack("f", st.pack("f", float(hx) / float((1 << 63) - 1)))[0]
+            sq += f32 * f32
+        recs.append((md5h, w, hh, dur, rw, rh, nf, sq))
+    t = pa.table({
+        "content_md5": pa.array([r[0] for r in recs], pa.string()),
+        "width": pa.array([r[1] for r in recs], pa.int32()),
+        "height": pa.array([r[2] for r in recs], pa.int32()),
+        "duration_ms": pa.array([r[3] for r in recs], pa.int64()),
+        "resized_width": pa.array([r[4] for r in recs], pa.int32()),
+        "resized_height": pa.array([r[5] for r in recs], pa.int32()),
+        "n_frames": pa.array([r[6] for r in recs], pa.int32()),
+        "feature_sq_norm": pa.array([r[7] for r in recs], pa.float64()),
+    })
+    pq.write_table(t, path, row_group_size=4096)
+    print(f"mm golden: {len(recs)} digests -> {path}")
+
+
 def write_unit_fixtures(resdir):
     os.makedirs(resdir, exist_ok=True)
     # smart_resize over every branch + banker's ties + errors
@@ -582,6 +635,7 @@ def main():
     write_expected(t1, os.path.join(res, "expected_t1.parquet"))
     write_expected(t2, os.path.join(res, "expected_t2.parquet"))
     write_expected_prompts(t2, os.path.join(res, "expected_prompts_t2.parquet"))
+    write_mm_golden(os.path.join(res, "mm_decoded_golden.parquet"))
     write_unit_fixtures(res)
 
 
