@@ -194,9 +194,11 @@ object Bench {
     val nRounds = sys.env.getOrElse("SPARK_GRAFT_BENCH_ROUNDS", "3").toInt
     def tpsExec(execs: Int, cores: Int): Double =
       tpsInChildJvm(Seq("scalerunx", execs.toString, cores.toString, replicate.toString))
-    // a round = (lo, hi) measured back-to-back in the SAME drift window;
-    // per-round efficiency is the least-confounded estimate, and since host
-    // noise only slows runs, the best round estimates true capability
+    // interleaved (lo, hi) rounds; the primary estimator is BEST-PER-LEVEL:
+    // host noise only ever slows a run, so each level's max approaches its
+    // true capability and the max/max ratio is the least-biased efficiency.
+    // (A best same-round PAIR can overestimate — a slowed lo paired with a
+    // clean hi inflates the ratio — so round pairs are supplementary only.)
     val rounds = (1 to nRounds).map { _ =>
       (tpsExec(execsLo, coresPer), tpsExec(execsHi, coresPer))
     }
@@ -207,7 +209,7 @@ object Bench {
     }
     val tpsLo = if (runsLo.nonEmpty) runsLo.max else 1.0
     val tpsHi = if (runsHi.nonEmpty) runsHi.max else 0.0
-    val efficiency = if (roundEffs.nonEmpty) roundEffs.max else 0.0
+    val efficiency = (tpsHi / tpsLo) / (coresHi.toDouble / coresLo)
     // secondary wide pair (2->8 executors, 4->16 cores) + saturation point
     // (8 executors x 4 cores = all 32 host cores), one round each
     val tpsLo2 = tpsExec(2, coresPer)

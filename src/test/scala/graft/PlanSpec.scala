@@ -1,0 +1,79 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Plan-shape assertions for the driver queries: the plans we WANT at scale,
+  * enforced — not just eyeballed via graft.Explain.
+  */
+class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+  private val sf = "/root/testdata/sf0.001"
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder()
+      .master("local[4]")
+      .appName("plan-spec")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  test("extract_range: the turn_idx filter reaches the parquet scan (PushedFilters)") {
+    val scan = graft.pipeline.Extract
+      .readTranscripts(spark, "data/transcripts_t2")
+      .where(org.apache.spark.sql.functions.col("turn_idx").between(2, 5))
+    val formatted = scan.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+    assert(formatted.contains("PushedFilters"), formatted.take(1500))
+    assert(formatted.matches("(?s).*PushedFilters:.*turn_idx.*"),
+      "turn_idx must appear in PushedFilters")
+  }
+
+  test("q5_join: dimension sides broadcast; no cartesian product") {
+    val plan = SparkEntry.queries("q5_join")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
+    assert(!plan.contains("CartesianProduct"))
+  }
+
+  test("q_antijoin: plans as a LeftAnti join with the date filter pushed to the orders scan") {
+    val qe = SparkEntry.queries("q_antijoin")(spark, sf).queryExecution
+    assert(qe.executedPlan.toString.contains("LeftAnti"))
+    val formatted = qe.explainString(org.apache.spark.sql.execution.FormattedMode)
+    assert(formatted.matches("(?s).*PushedFilters:.*o_orderdate.*"),
+      "o_orderdate filter must push into the orders parquet scan")
+  }
+
+  test("q17_subquery: the correlated scalar subquery decorrelates (no subquery node left)") {
+    val optimized = SparkEntry.queries("q17_subquery")(spark, sf)
+      .queryExecution.optimizedPlan.toString
+    assert(!optimized.contains("scalar-subquery"),
+      s"subquery should be decorrelated into aggregate+join:\n${optimized.take(1500)}")
+    assert(optimized.contains("Join"))
+  }
+
+  test("payload_decode: scan reads only the needed columns (pruned ReadSchema)") {
+    val formatted = SparkEntry.queries("payload_decode")(spark, sf)
+      .queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode)
+    val readSchema = formatted.linesIterator.filter(_.contains("ReadSchema")).mkString
+    assert(readSchema.contains("doc_id") && readSchema.contains("text"))
+    assert(!readSchema.contains("lang") && !readSchema.contains("source"),
+      s"unused columns must be pruned from the scan: $readSchema")
+  }
+
+  test("extraction hot path has no shuffle (no Exchange below the final aggregate)") {
+    val df = graft.pipeline.Extract
+      .extract(graft.pipeline.Extract.readTranscripts(spark, "data/transcripts_t1"))
+      .toDF()
+    // the pipeline itself (pre-aggregation) must contain no Exchange
+    assert(!df.queryExecution.executedPlan.toString.contains("Exchange"),
+      "per-turn extraction must stay narrow")
+  }
+}
