@@ -260,6 +260,12 @@ object SparkEntry {
     "vec_ann_ivf" -> ((s, dir) =>
       VectorOps.annIvf(s.read.parquet(s"$dir/embeddings.parquet"))),
 
+    // embedding-cosine near-dup dedup (LSH-bucketed candidates, exact
+    // cosine verify at τ=0.4) — the vector-space member of the dedup family
+    "vec_near_dups" -> ((s, dir) =>
+      VectorOps.cosineNearDups(s.read.parquet(s"$dir/embeddings.parquet"),
+        dim = 64, tau = 0.4)),
+
     // extraction ⨯ text-analysis: script profile of the EXTRACTED markdown
     // (the multilingual payload corpus makes this non-trivial); oracle
     // recomputes the same regex counts over the frozen golden md
@@ -293,8 +299,11 @@ object SparkEntry {
     * bit-exact vs the engine's codegen'd DotProduct (verified), so bucket
     * assignment, candidate generation, and ranking all reproduce exactly.
     */
-  private def annLshOracleSql: String = {
-    val dim = 64; val nBits = 10; val nTables = 8; val nQ = 10; val k = 5
+  /** Shared WITH-prefix recomputing the LSH codes: projections against the
+    * embedded plane literals, per-table bucket fold, (vec_id, table, bucket)
+    * rows. Bit-exact vs the engine (sequential list_dot_product).
+    */
+  private def lshOracleCtes(dim: Int, nBits: Int, nTables: Int): String = {
     val lits = VectorOps.planeSqlLiterals(dim, nBits, nTables)
     val projCols = lits.zipWithIndex
       .map { case (l, i) => s"list_dot_product(e, $l) AS p$i" }.mkString(", ")
@@ -306,12 +315,21 @@ object SparkEntry {
       s"($terms) AS b$t"
     }.mkString(", ")
     val bucketCase = (0 until nTables).map(t => s"WHEN $t THEN b$t").mkString(" ")
-    s"""WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings), proj AS (SELECT vec_id, e, sqrt(list_dot_product(e, e)) AS nrm, $projCols FROM base), buck AS (SELECT vec_id, e, nrm, $buckets FROM proj), coded AS (SELECT vec_id, t.table_id, CASE t.table_id $bucketCase END AS bucket FROM buck CROSS JOIN (SELECT unnest(range($nTables)) AS table_id) t), cand AS (SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS vec_id FROM coded q JOIN coded c ON q.table_id = c.table_id AND q.bucket = c.bucket WHERE q.vec_id < $nQ AND c.vec_id != q.vec_id), scored AS (SELECT cand.query_id, cand.vec_id, list_dot_product(qb.e, v.e) / (qb.nrm * v.nrm) AS c FROM cand JOIN buck v ON v.vec_id = cand.vec_id JOIN buck qb ON qb.vec_id = cand.query_id), r AS (SELECT query_id, vec_id, c, row_number() OVER (PARTITION BY query_id ORDER BY c DESC, vec_id) AS rank FROM scored) SELECT query_id, rank, vec_id AS neighbor_id, round(c, 6) AS cosine FROM r WHERE rank <= $k ORDER BY query_id, rank"""
+    s"""WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings), proj AS (SELECT vec_id, e, sqrt(list_dot_product(e, e)) AS nrm, $projCols FROM base), buck AS (SELECT vec_id, e, nrm, $buckets FROM proj), coded AS (SELECT vec_id, t.table_id, CASE t.table_id $bucketCase END AS bucket FROM buck CROSS JOIN (SELECT unnest(range($nTables)) AS table_id) t)"""
   }
+
+  private def annLshOracleSql: String = {
+    val nQ = 10; val k = 5
+    s"""${lshOracleCtes(64, 10, 8)}, cand AS (SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS vec_id FROM coded q JOIN coded c ON q.table_id = c.table_id AND q.bucket = c.bucket WHERE q.vec_id < $nQ AND c.vec_id != q.vec_id), scored AS (SELECT cand.query_id, cand.vec_id, list_dot_product(qb.e, v.e) / (qb.nrm * v.nrm) AS c FROM cand JOIN buck v ON v.vec_id = cand.vec_id JOIN buck qb ON qb.vec_id = cand.query_id), r AS (SELECT query_id, vec_id, c, row_number() OVER (PARTITION BY query_id ORDER BY c DESC, vec_id) AS rank FROM scored) SELECT query_id, rank, vec_id AS neighbor_id, round(c, 6) AS cosine FROM r WHERE rank <= $k ORDER BY query_id, rank"""
+  }
+
+  private def cosineNearDupsOracleSql: String =
+    s"""${lshOracleCtes(64, 10, 8)}, cand AS (SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b FROM coded a JOIN coded b ON a.table_id = b.table_id AND a.bucket = b.bucket WHERE a.vec_id < b.vec_id), scored AS (SELECT cand.vec_a, cand.vec_b, list_dot_product(x.e, y.e) / (x.nrm * y.nrm) AS c FROM cand JOIN buck x ON x.vec_id = cand.vec_a JOIN buck y ON y.vec_id = cand.vec_b) SELECT vec_a, vec_b, round(c, 6) AS cosine FROM scored WHERE c >= 0.4 ORDER BY vec_a, vec_b"""
 
   /** ANSI SQL oracles (DuckDB). Column names must match the Spark output. */
   def oracleSql: Map[String, String] = Map(
     "vec_ann_lsh" -> annLshOracleSql,
+    "vec_near_dups" -> cosineNearDupsOracleSql,
     "extract_turns" ->
       s"""SELECT conv_id, turn_idx, input_width, input_height, cells_json, md, md_nohf, filtered, spans_json FROM read_parquet('$ExpectedT2') ORDER BY conv_id, turn_idx""",
 

@@ -120,6 +120,33 @@ object VectorOps {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** Embedding-cosine near-duplicate pairs (the vector-space analog of
+    * MinHash dedup): candidates share an LSH (table, bucket), exact cosine
+    * verifies at threshold `tau`. Candidate space is bucket-bounded — never
+    * the O(N²) all-pairs — which makes this the 100-TB-scale shape; recall
+    * vs brute force is the standard (1-(1-p^nBits)^nTables) LSH trade,
+    * asserted on clustered data in the spec.
+    */
+  def cosineNearDups(emb: DataFrame, dim: Int, tau: Double = 0.4,
+                     nBits: Int = 10, nTables: Int = 8): DataFrame = {
+    val base = emb.select(col("vec_id"), toDouble(col("embedding")).as("e"))
+      .withColumn("nrm", norm(col("e")))
+    val coded = lshCodes(emb, dim, nBits, nTables)
+      .select(col("vec_id"), col("table_id"), col("bucket"))
+    val a = coded.select(col("table_id"), col("bucket"), col("vec_id").as("vec_a"))
+    val b = coded.select(col("table_id"), col("bucket"), col("vec_id").as("vec_b"))
+    val cands = a.join(b, Seq("table_id", "bucket"))
+      .where(col("vec_a") < col("vec_b"))
+      .select(col("vec_a"), col("vec_b")).distinct()
+    cands
+      .join(base.select(col("vec_id").as("vec_a"), col("e").as("ea"), col("nrm").as("na")), Seq("vec_a"))
+      .join(base.select(col("vec_id").as("vec_b"), col("e").as("eb"), col("nrm").as("nb")), Seq("vec_b"))
+      .withColumn("cosine", dot(col("ea"), col("eb")) / (col("na") * col("nb")))
+      .where(col("cosine") >= tau)
+      .select(col("vec_a"), col("vec_b"), round(col("cosine"), 6).as("cosine"))
+      .orderBy(col("vec_a"), col("vec_b"))
+  }
+
   /** Deterministic k-means-lite coarse quantizer: seeds = the nCells vectors
     * with the smallest xxhash64(vec_id) (reproducible, data-independent
     * tie-break), then `iters` Lloyd rounds as assign→mean aggregation

@@ -104,6 +104,27 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     rows.toDF("vec_id", "embedding", "label")
   }
 
+  test("cosine near-dups: LSH-bounded pairs are a subset of brute force with high recall") {
+    val data = clusteredEmb
+    val rows = data.collect().map(r =>
+      (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray))
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val tau = 0.9
+    val brute = (for {
+      (ia, va) <- rows; (ib, vb) <- rows if ia < ib && cos(va, vb) >= tau
+    } yield (ia, ib)).toSet
+    val lsh = VectorOps.cosineNearDups(data, dim = 16, tau = tau).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert((lsh -- brute).isEmpty, "LSH pairs must verify exactly (subset of brute)")
+    val recall = (lsh & brute).size.toDouble / brute.size
+    info(s"cosine near-dup recall = $recall over ${brute.size} brute pairs")
+    assert(recall >= 0.9)
+  }
+
   test("ANN-LSH recall >= 0.9 on clustered data; candidates bounded") {
     val data = clusteredEmb
     val exact = VectorOps.cosineTopK(data).collect()
