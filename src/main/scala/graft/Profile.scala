@@ -107,6 +107,24 @@ object Profile {
       val allocPerTurn = (tmx.getThreadAllocatedBytes(tid) - a0).toDouble / (pn.toLong * reps)
       println(f"MICRO $name ${perTurn / 1000}%.2f us/row  alloc ${allocPerTurn}%.0f B/row")
     }
+    // repair-path cost split: rows whose strict parse fails, by size bucket
+    val strictIds = parsed.map(_._1).map(t => (t.conv_id, t.turn_idx)).toSet
+    val layoutRows = rows.filter(t => ExtractTurn.LayoutModes.contains(t.tool))
+    val repairRows = layoutRows.filterNot(t => strictIds.contains((t.conv_id, t.turn_idx)))
+    val (repairBig, repairSmall) = repairRows.partition(_.text.length > 10000)
+    def benchRows(name: String, rs: Array[Turn], reps: Int): Unit = {
+      if (rs.isEmpty) return
+      var i = 0
+      while (i < 1) { rs.foreach(ExtractTurn.apply); i += 1 }
+      val t0 = System.nanoTime()
+      i = 0
+      while (i < reps) { rs.foreach(ExtractTurn.apply); i += 1 }
+      val per = (System.nanoTime() - t0).toDouble / (rs.length.toLong * reps)
+      println(f"MICRO $name n=${rs.length} ${per / 1000}%.2f us/row")
+    }
+    benchRows("repair_small(<=10k)", repairSmall, 3)
+    benchRows("repair_big(>10k)", repairBig, 3)
+
     bench2("rescale_only", 5) { case (t, _) =>
       val (oh, ow) = PageGeom.of(t.conv_id, t.turn_idx)
       val (ih, iw) = SmartResize.smartResize(oh, ow)

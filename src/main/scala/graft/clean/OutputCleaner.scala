@@ -36,17 +36,68 @@ object CleanOps {
   */
 object OutputCleaner {
 
-  // output_cleaner.py:37-39 — note: no '.' in these patterns, so Python's
-  // re.DOTALL flag is a no-op; UNICODE_CHARACTER_CLASS aligns Java \s with
-  // Python's Unicode-aware \s.
-  private val DictPattern = Pattern.compile(
-    """\{[^{}]*?"bbox"\s*:\s*\[[^\]]*?\][^{}]*?\}""", Pattern.UNICODE_CHARACTER_CLASS)
+  // output_cleaner.py:37-39. The two hot patterns (dict blocks, missing
+  // delimiters) are hand-rolled scanners below: they run over the 50KB+
+  // repair tails where java.util.regex cost dominated the corpus average
+  // (~1.3ms/row), and — unlike Java's Unicode \s — they use Python's exact
+  // \s set (Py.isSpace: includes U+001C-001F), closing the round-1 declared
+  // separator divergence. Equivalence to the regexes is property-tested.
   private val BboxPattern = Pattern.compile(
     """"bbox"\s*:\s*\[([^\]]+)\]""", Pattern.UNICODE_CHARACTER_CLASS)
-  private val MissingDelimiterPattern = Pattern.compile(
-    """\}\s*\{(?!")""", Pattern.UNICODE_CHARACTER_CLASS)
   private val CategoryPattern = Pattern.compile(""""category"\s*:\s*"([^"]+)"""")
   private val TextPrefixPattern = Pattern.compile(""""text"\s*:\s*"([^"]{0,10000})""")
+
+  /** Find-all equivalent of CPython's
+    * `\{[^{}]*?"bbox"\s*:\s*\[[^\]]*?\][^{}]*?\}` (lazy, DOTALL-irrelevant):
+    * minimal blocks `{ ... }` with no inner braces outside the bbox array,
+    * containing `"bbox"` ws `:` ws `[` ... first `]`. Lazy backtracking ≡
+    * trying each `"bbox"` occurrence (brace-free from the `{`) in order.
+    */
+  private[graft] def findDictBlocks(text: String): Vector[String] = {
+    val n = text.length
+    val out = Vector.newBuilder[String]
+    var i = 0
+    while (i < n) {
+      if (text.charAt(i) != '{') i += 1
+      else {
+        var matchEnd = -1
+        var p = i + 1
+        var braceFree = true
+        while (matchEnd < 0 && braceFree && p < n) {
+          val c = text.charAt(p)
+          if (c == '{' || c == '}') braceFree = false
+          else {
+            if (c == '"' && text.startsWith("bbox\"", p + 1)) {
+              var q = p + 6
+              while (q < n && Py.isSpace(text.charAt(q))) q += 1
+              if (q < n && text.charAt(q) == ':') {
+                q += 1
+                while (q < n && Py.isSpace(text.charAt(q))) q += 1
+                if (q < n && text.charAt(q) == '[') {
+                  var r = q + 1
+                  while (r < n && text.charAt(r) != ']') r += 1
+                  if (r < n) {
+                    var t = r + 1
+                    var ok = true
+                    while (t < n && ok && text.charAt(t) != '}') {
+                      if (text.charAt(t) == '{') ok = false else t += 1
+                    }
+                    if (ok && t < n) matchEnd = t
+                  }
+                }
+              }
+            }
+            if (matchEnd < 0) p += 1
+          }
+        }
+        if (matchEnd >= 0) {
+          out += text.substring(i, matchEnd + 1)
+          i = matchEnd + 1
+        } else i += 1
+      }
+    }
+    out.result()
+  }
 
   /** Result of `clean_model_output` (output_cleaner.py:418-435): either the
     * cleaned list of cell objects, or — on the outer exception path — the
@@ -125,14 +176,34 @@ object OutputCleaner {
     }
   }
 
-  /** output_cleaner.py:171-186 */
+  /** output_cleaner.py:171-186 — `re.sub(r'\}\s*\{(?!")', '},{')` as a
+    * single scan (Python \s via Py.isSpace).
+    */
   def fixMissingDelimiters(text: String): (String, Int) = {
-    val m = MissingDelimiterPattern.matcher(text)
+    val n = text.length
+    var i = 0
     var fixes = 0
-    val sb = new java.lang.StringBuilder
-    while (m.find()) { fixes += 1; m.appendReplacement(sb, "},{") }
-    m.appendTail(sb)
-    (sb.toString, fixes)
+    var sb: java.lang.StringBuilder = null
+    var copied = 0
+    while (i < n) {
+      if (text.charAt(i) == '}') {
+        var j = i + 1
+        while (j < n && Py.isSpace(text.charAt(j))) j += 1
+        if (j < n && text.charAt(j) == '{' && (j + 1 >= n || text.charAt(j + 1) != '"')) {
+          if (sb == null) sb = new java.lang.StringBuilder(n + 16)
+          sb.append(text, copied, i)
+          sb.append("},{")
+          fixes += 1
+          i = j + 1 // scan resumes after the consumed `}...{`
+          copied = i
+        } else i += 1
+      } else i += 1
+    }
+    if (sb == null) (text, 0)
+    else {
+      sb.append(text, copied, n)
+      (sb.toString, fixes)
+    }
   }
 
   /** output_cleaner.py:188-220 */
@@ -155,18 +226,15 @@ object OutputCleaner {
     * substrings; on any duplicate the array is REBUILT with `", "` joins.
     */
   def removeDuplicateCompleteDictsPreserveOrder(text: String): (String, Int) = {
-    val m = DictPattern.matcher(text)
+    val blocks = findDictBlocks(text)
+    if (blocks.isEmpty) return (text, 0)
     val unique = Vector.newBuilder[String]
     val seen = scala.collection.mutable.HashSet.empty[String]
     var dups = 0
-    var any = false
-    while (m.find()) {
-      any = true
-      val d = m.group()
+    blocks.foreach { d =>
       if (seen.add(d)) unique += d else dups += 1
     }
-    if (!any) (text, 0)
-    else if (dups > 0) ("[" + unique.result().mkString(", ") + "]", dups)
+    if (dups > 0) ("[" + unique.result().mkString(", ") + "]", dups)
     else (text, 0)
   }
 
@@ -195,9 +263,8 @@ object OutputCleaner {
       case _: PyJsonParseException =>
         val valid = Vector.newBuilder[JValue]
         var n = 0
-        val m = DictPattern.matcher(text)
-        while (m.find()) {
-          try { valid += PyJson.parse(m.group()); n += 1 }
+        findDictBlocks(text).foreach { block =>
+          try { valid += PyJson.parse(block); n += 1 }
           catch { case _: PyJsonParseException => () }
         }
         if (n > 0) return Some(valid.result())

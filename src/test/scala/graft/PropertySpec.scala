@@ -114,6 +114,43 @@ class PropertySpec extends AnyFunSuite {
     }, "cleaner order preservation")
   }
 
+  test("hand-rolled scanners equal the reference regexes (adversarial strings)") {
+    import java.util.regex.Pattern
+    val dictRe = Pattern.compile(
+      """\{[^{}]*?"bbox"\s*:\s*\[[^\]]*?\][^{}]*?\}""",
+      Pattern.UNICODE_CHARACTER_CLASS)
+    val delimRe = Pattern.compile("""\}\s*\{(?!")""", Pattern.UNICODE_CHARACTER_CLASS)
+    // alphabet stresses the scanners: braces, brackets, quotes, partial
+    // "bbox" fragments, whitespace (NOT U+001C-001F, where the scanner
+    // intentionally follows Python instead of Java's \s — see below)
+    val sym = Gen.oneOf("{", "}", "[", "]", "\"", ":", ",", " ", "\t", "\n",
+      "\u00a0", "b", "x", "1", "\"bbox\"", "\"bbox\" :", "{\"bbox\": [1]",
+      "\"bbox\":[", "]}", "}{", "} {", "}\u00a0{\"")
+    val adversarial = Gen.listOf(sym).map(_.mkString)
+    check(Prop.forAll(adversarial) { s =>
+      val regexBlocks = {
+        val m = dictRe.matcher(s)
+        val b = Vector.newBuilder[String]
+        while (m.find()) b += m.group()
+        b.result()
+      }
+      OutputCleaner.findDictBlocks(s) == regexBlocks
+    }, "findDictBlocks == dict regex")
+    check(Prop.forAll(adversarial) { s =>
+      val m = delimRe.matcher(s)
+      val sb = new java.lang.StringBuilder
+      var fixes = 0
+      while (m.find()) { fixes += 1; m.appendReplacement(sb, "},{") }
+      m.appendTail(sb)
+      OutputCleaner.fixMissingDelimiters(s) == ((sb.toString, fixes))
+    }, "fixMissingDelimiters == delimiter regex")
+    // the intentional divergence FROM the Java regex: U+001C-001F are
+    // whitespace to Python's \s (and to the scanner), not to Java's
+    assert(OutputCleaner.fixMissingDelimiters("}\u001c{a") === (("},{a", 1)))
+    assert(OutputCleaner.findDictBlocks("{\"bbox\"\u001d:\u001e[1]}") ===
+      Vector("{\"bbox\"\u001d:\u001e[1]}"))
+  }
+
   test("string dedup (C5) preserves first-occurrence order") {
     check(Prop.forAll(Gen.listOfN(8, Gen.oneOf(
       """{"bbox": [1, 2, 3, 4], "category": "Text"}""",

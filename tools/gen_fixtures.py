@@ -221,6 +221,12 @@ def make_payload(cls, rng, iw, ih):
         cells = wellformed(rng, iw, ih, n=4)
         parts = ['{ ' + dumps(c)[1:] for c in cells]  # '{ "bbox": ...'
         return '[' + parts[0] + ' ' + parts[1] + ', ' + parts[2] + ' ' + parts[3] + ']'
+    if cls == "P1fs":  # missing delimiters separated by U+001C-class chars:
+        # Python \s includes U+001C-001F (Java's Unicode \s does not) — the
+        # engine's hand-rolled scanner follows Python; this class pins it
+        cells = wellformed(rng, iw, ih, n=3)
+        parts = ['{ ' + dumps(c)[1:] for c in cells]
+        return '[' + parts[0] + '\x1c' + parts[1] + '\x1e\x1f ' + parts[2] + ']'
     if cls == "P2":  # truncated tail, multiple dicts
         cells = wellformed(rng, iw, ih, n=5)
         s = dumps(cells)
@@ -317,7 +323,7 @@ CLASS_WHEEL = (
     ["P0"] * 40 + ["P0hf"] * 8 + ["P0formula"] * 8 + ["P0picture"] * 6 +
     ["P0float"] * 4 +
     ["P0rich"] * 6 + ["P0illegal"] * 2 +
-    ["P1"] * 4 + ["P2"] * 4 + ["P2long"] * 1 + ["P3"] * 4 + ["P4"] * 3 +
+    ["P1"] * 4 + ["P1fs"] * 2 + ["P2"] * 4 + ["P2long"] * 1 + ["P3"] * 4 + ["P4"] * 3 +
     ["P5"] * 3 + ["P6"] * 3 + ["P7"] * 3 + ["P8"] * 2 + ["P8list"] * 2 +
     ["P9"] * 3 + ["P9scalar"] * 1 +
     ["P9dict"] * 2 + ["P9dict2"] * 1 + ["P0mixedkeys"] * 2 + ["P0unhashable"] * 2
@@ -578,9 +584,9 @@ def write_unit_fixtures(resdir):
     # cleaner: raw payload -> clean_model_output result
     rng = random.Random(4242)
     recs = []
-    for cls in ["P1", "P2", "P2long", "P3", "P4", "P5", "P6", "P7", "P8",
-                "P8list", "P9", "P9scalar", "P0", "P0mixedkeys", "P0numpair",
-                "P0unhashable"]:
+    for cls in ["P1", "P1fs", "P2", "P2long", "P3", "P4", "P5", "P6", "P7",
+                "P8", "P8list", "P9", "P9scalar", "P0", "P0mixedkeys",
+                "P0numpair", "P0unhashable"]:
         LIST_CLS = ("P7", "P8list", "P0", "P0mixedkeys", "P0numpair",
                     "P0unhashable")
         for rep in range(3):
