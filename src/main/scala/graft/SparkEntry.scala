@@ -251,6 +251,10 @@ object SparkEntry {
     "doc_winnow" -> ((s, dir) =>
       DocOps.winnowFingerprints(docs(s, dir)).orderBy("doc_id")),
 
+    // distinct-word HLL sketch (custom TypedImperativeAggregate) — the
+    // registers are deterministic integers, recomputed exactly by DuckDB
+    "doc_word_hll" -> ((s, dir) => DocOps.wordHll(docs(s, dir))),
+
     "vec_cosine_topk" -> ((s, dir) =>
       VectorOps.cosineTopK(s.read.parquet(s"$dir/embeddings.parquet"))),
 
@@ -406,6 +410,11 @@ object SparkEntry {
     // (CAST('0x..' AS BIGINT)), per-bit tf-weighted sums, pigeonhole bands
     "doc_simhash_pairs" ->
       """WITH wordtf AS (SELECT doc_id, word, count(*) AS tf FROM (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS word FROM documents) GROUP BY doc_id, word), hashed AS (SELECT doc_id, tf, CAST(('0x' || substr(md5(word), 1, 15)) AS BIGINT) AS h FROM wordtf), sums AS (SELECT doc_id, i, sum(CASE WHEN (h >> i) & 1 = 1 THEN tf ELSE -tf END) AS s FROM hashed CROSS JOIN (SELECT unnest(range(60)) AS i) bits GROUP BY doc_id, i), fp AS (SELECT doc_id, CAST(sum(CASE WHEN s > 0 THEN CAST(1 AS BIGINT) << i ELSE 0 END) AS BIGINT) AS simhash FROM sums GROUP BY doc_id), banded AS (SELECT doc_id, simhash, j AS chunk_idx, (simhash >> (j * 15)) & 32767 AS chunk_val FROM fp CROSS JOIN (SELECT unnest(range(4)) AS j) chunks) SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming FROM banded a JOIN banded b ON a.chunk_idx = b.chunk_idx AND a.chunk_val = b.chunk_val WHERE a.doc_id < b.doc_id AND bit_count(xor(a.simhash, b.simhash)) <= 3 ORDER BY doc_a, doc_b""",
+
+    // HLL registers recomputed independently: same 60-bit md5 word hash,
+    // register = top 10 bits, rank = 50-bit leading zeros + 1 via bin()
+    "doc_word_hll" ->
+      """WITH w AS (SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS word FROM documents), h AS (SELECT CAST(('0x' || substr(md5(word), 1, 15)) AS BIGINT) AS h FROM w), rr AS (SELECT CAST(h >> 50 AS INT) AS reg, CASE WHEN (h & ((CAST(1 AS BIGINT) << 50) - 1)) = 0 THEN 51 ELSE 50 - length(bin(h & ((CAST(1 AS BIGINT) << 50) - 1))) + 1 END AS r FROM h), mx AS (SELECT reg, max(r) AS mr FROM rr GROUP BY reg), allreg AS (SELECT unnest(range(1024)) AS reg), regs AS (SELECT allreg.reg AS reg, coalesce(mx.mr, 0) AS r FROM allreg LEFT JOIN mx ON mx.reg = allreg.reg) SELECT (SELECT string_agg(lpad(to_hex(r), 2, '0'), '' ORDER BY reg) FROM regs) AS hll_registers, (SELECT CAST(count(*) AS BIGINT) FROM w) AS n_words""",
 
     // Winnowing recomputed independently: distinct 5-word shingles, per-doc
     // minima of 4 md5 hash families, ':'-joined 16-hex-char prefixes

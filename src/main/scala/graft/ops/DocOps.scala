@@ -172,7 +172,7 @@ object DocOps {
     * previous xxhash64 was Spark-specific, leaving SimHash/winnowing without
     * an independent oracle).
     */
-  private def md5Hash60(c: Column): Column =
+  private[graft] def md5Hash60(c: Column): Column =
     conv(substring(md5(c), 1, 15), 16, 10).cast("long")
 
   /** 60-bit SimHash over word unigrams weighted by term frequency. Pure
@@ -287,6 +287,19 @@ object DocOps {
       regexp_count(t, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]")).as("bpe_ish_tokens"),
       length(t).as("n_chars_m"))
   }
+
+  /** Corpus-wide distinct-word sketch via the custom HLL aggregate
+    * (graft.functions.HllSketch): one narrow pass, a 1KB partial per task,
+    * merge = elementwise max — COUNT(DISTINCT) at corpus scale without
+    * shuffling the key set. Registers emit as a deterministic hex string
+    * (md5-derived hashes), so the DuckDB oracle recomputes them exactly;
+    * the float estimate is derived client-side (HllSketch.estimate).
+    */
+  def wordHll(docs: DataFrame): DataFrame =
+    docs.select(explode(split(trim(col("text")), "\\s+")).as("word"))
+      .agg(
+        graft.functions.HllSketch.hll_sketch(md5Hash60(col("word"))).as("hll_registers"),
+        count(lit(1)).as("n_words"))
 
   /** Content fingerprints: md5 digest + 64-bit prefix (hex) — the
     * dedup/lineage key at corpus scale.

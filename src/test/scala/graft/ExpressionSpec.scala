@@ -65,4 +65,33 @@ class ExpressionSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(r.isNullAt(0))
     assert(r.getDouble(1) === 3.0)
   }
+
+  test("HLL sketch: estimate within 5% of exact distinct; invariant under repartitioning") {
+    import graft.functions.HllSketch
+    import graft.ops.DocOps
+    val docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    val words = docs.select(explode(split(trim(col("text")), "\\s+")).as("word"))
+    val exact = words.distinct().count()
+    val hex = DocOps.wordHll(docs).collect()(0).getString(0)
+    assert(hex.length === 2048)
+    val est = HllSketch.estimate(hex)
+    info(f"HLL estimate $est%.0f vs exact $exact (err ${100 * math.abs(est - exact) / exact}%.1f%%)")
+    assert(math.abs(est - exact) / exact <= 0.05)
+    // large-cardinality regime (the HLL path, not linear counting):
+    // 200k distinct hashes, 1024 registers -> sigma ~3.25%; assert 3 sigma
+    val hexBig = spark.range(200000).toDF("id")
+      .select(graft.ops.DocOps.md5Hash60(col("id").cast("string")).as("h"))
+      .agg(HllSketch.hll_sketch(col("h"))).collect()(0).getString(0)
+    val estBig = HllSketch.estimate(hexBig)
+    info(f"HLL estimate $estBig%.0f vs exact 200000 (err ${100 * math.abs(estBig - 200000) / 200000}%.1f%%)")
+    assert(math.abs(estBig - 200000.0) / 200000.0 <= 0.10)
+    // partial/merge correctness: any partitioning yields the identical sketch
+    val hex7 = DocOps.wordHll(docs.repartition(7)).collect()(0).getString(0)
+    assert(hex7 === hex)
+    // sketch of a subset never exceeds the full sketch registerwise
+    val hexHalf = DocOps.wordHll(docs.where(col("doc_id") % 2 === 0)).collect()(0).getString(0)
+    val regs = (0 until 1024).map(i => Integer.parseInt(hex.substring(2 * i, 2 * i + 2), 16))
+    val regsHalf = (0 until 1024).map(i => Integer.parseInt(hexHalf.substring(2 * i, 2 * i + 2), 16))
+    assert(regsHalf.zip(regs).forall { case (h, f) => h <= f })
+  }
 }
