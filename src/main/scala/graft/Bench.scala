@@ -191,7 +191,7 @@ object Bench {
     val execsHi = 4
     val coresLo = execsLo * coresPer
     val coresHi = execsHi * coresPer
-    val replicate = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPLICATE", "18").toInt
+    val replicate = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPLICATE", "12").toInt
     val nRounds = sys.env.getOrElse("SPARK_GRAFT_BENCH_ROUNDS", "3").toInt
     def tpsExec(execs: Int, cores: Int): Double =
       tpsInChildJvm(Seq("scalerunx", execs.toString, cores.toString, replicate.toString))
