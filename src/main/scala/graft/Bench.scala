@@ -19,8 +19,18 @@ import graft.pipeline.Extract
   */
 object Bench {
 
-  private val BenchTranscripts = "/root/repo/data/transcripts_bench"
-  private val WarmupTranscripts = "/root/repo/data/transcripts_t1"
+  /** Repo root: overridable via GRAFT_REPO_ROOT (env) / graft.repo.root
+    * (sysprop); defaults to the launch cwd, which is the repo root under
+    * `sbt runMain` — so a checkout anywhere still finds its data and can
+    * write its local bench file.
+    */
+  private[graft] val RepoRoot: String =
+    sys.env.get("GRAFT_REPO_ROOT")
+      .orElse(sys.props.get("graft.repo.root"))
+      .getOrElse(new java.io.File(".").getAbsoluteFile.getParent)
+
+  private val BenchTranscripts = s"$RepoRoot/data/transcripts_bench"
+  private val WarmupTranscripts = s"$RepoRoot/data/transcripts_t1"
 
   private def session(cores: Int, smallSplits: Boolean = false): SparkSession = {
     val b = SparkSession.builder()
@@ -92,7 +102,7 @@ object Bench {
     * allocator, which is an artifact no real cluster has.
     */
   private def sessionCluster(nExec: Int, coresPer: Int): SparkSession = {
-    val cls = new java.io.File("target/scala-2.13/classes").getAbsolutePath
+    val cls = new java.io.File(s"$RepoRoot/target/scala-2.13/classes").getAbsolutePath
     val s = SparkSession.builder()
       .master(s"local-cluster[$nExec,$coresPer,4096]")
       .appName(s"graft-bench-x$nExec-$coresPer")
@@ -272,8 +282,11 @@ object Bench {
       f"""{"metric":"turns_per_sec","value":${nTurns / tExtract}%.1f,"unit":"turns/sec","total_sec":$totalSec%.2f,"queries":$qJson,"sf":"$sfDir","n_turns":$nTurns,"scaling":{"mode":"executor-processes (local-cluster)","cores_per_executor":$coresPer,"execs_lo":$execsLo,"execs_hi":$execsHi,"cores_lo":$coresLo,"cores_hi":$coresHi,"tps_lo":$tpsLo%.1f,"tps_hi":$tpsHi%.1f,"efficiency":$efficiency%.3f,"round_efficiencies":${roundEffs.map(v => f"$v%.3f").mkString("[", ",", "]")},"hw_ceiling":$hwCeiling%.3f,"efficiency_vs_ceiling":${efficiency / hwCeiling}%.3f,"runs_lo":${runsLo.map(v => f"$v%.1f").mkString("[", ",", "]")},"runs_hi":${runsHi.map(v => f"$v%.1f").mkString("[", ",", "]")},"secondary_pair":{"execs_lo":2,"execs_hi":8,"cores_lo":${2 * coresPer},"cores_hi":${8 * coresPer},"tps_lo":$tpsLo2%.1f,"tps_hi":$tpsHi2%.1f,"efficiency":$efficiency2%.3f},"saturation_tps_32core":$tpsSat32%.1f,"scaled_turns":${nTurns.toLong * replicate}}}"""
     println(line)
     // belt-and-braces: the driver parses stdout; also drop the line to a file
-    try java.nio.file.Files.writeString(
-      java.nio.file.Paths.get("/root/repo/BENCH_LOCAL.json"), line + "\n")
-    catch { case _: Exception => () }
+    val benchFile = java.nio.file.Paths.get(s"$RepoRoot/BENCH_LOCAL.json")
+    try java.nio.file.Files.writeString(benchFile, line + "\n")
+    catch {
+      case e: Exception =>
+        System.err.println(s"WARN: could not write $benchFile: $e")
+    }
   }
 }

@@ -51,19 +51,26 @@ object Profile {
     val rows = Extract.readTranscripts(spark, "/root/repo/data/transcripts_t2").collect()
     spark.stop()
     val n = rows.length
-    val tmx = java.lang.management.ManagementFactory.getThreadMXBean
-      .asInstanceOf[com.sun.management.ThreadMXBean]
+    // allocation counters are a HotSpot extension; fall back to time-only
+    // reporting on JVMs that don't expose com.sun.management.ThreadMXBean
+    val tmx: Option[com.sun.management.ThreadMXBean] =
+      java.lang.management.ManagementFactory.getThreadMXBean match {
+        case t: com.sun.management.ThreadMXBean => Some(t)
+        case _ => None
+      }
     def bench(name: String, reps: Int)(f: Turn => Any): Unit = {
       var i = 0
       while (i < 2) { rows.foreach(f); i += 1 } // warmup
       val tid = Thread.currentThread().getId
-      val a0 = tmx.getThreadAllocatedBytes(tid)
+      val a0 = tmx.fold(0L)(_.getThreadAllocatedBytes(tid))
       val t0 = System.nanoTime()
       i = 0
       while (i < reps) { rows.foreach(f); i += 1 }
       val perTurn = (System.nanoTime() - t0).toDouble / (n.toLong * reps)
-      val allocPerTurn = (tmx.getThreadAllocatedBytes(tid) - a0).toDouble / (n.toLong * reps)
-      println(f"MICRO $name ${perTurn / 1000}%.2f us/turn  alloc ${allocPerTurn}%.0f B/turn")
+      val alloc = tmx.fold("n/a") { t =>
+        f"${(t.getThreadAllocatedBytes(tid) - a0).toDouble / (n.toLong * reps)}%.0f B/turn"
+      }
+      println(f"MICRO $name ${perTurn / 1000}%.2f us/turn  alloc $alloc")
     }
     bench("full_extract", 5)(ExtractTurn.apply)
     bench("pyjson_parse_only", 5) { t =>
@@ -99,13 +106,15 @@ object Profile {
       var i = 0
       while (i < 2) { parsed.foreach(f); i += 1 }
       val tid = Thread.currentThread().getId
-      val a0 = tmx.getThreadAllocatedBytes(tid)
+      val a0 = tmx.fold(0L)(_.getThreadAllocatedBytes(tid))
       val t0 = System.nanoTime()
       i = 0
       while (i < reps) { parsed.foreach(f); i += 1 }
       val perTurn = (System.nanoTime() - t0).toDouble / (pn.toLong * reps)
-      val allocPerTurn = (tmx.getThreadAllocatedBytes(tid) - a0).toDouble / (pn.toLong * reps)
-      println(f"MICRO $name ${perTurn / 1000}%.2f us/row  alloc ${allocPerTurn}%.0f B/row")
+      val alloc = tmx.fold("n/a") { t =>
+        f"${(t.getThreadAllocatedBytes(tid) - a0).toDouble / (pn.toLong * reps)}%.0f B/row"
+      }
+      println(f"MICRO $name ${perTurn / 1000}%.2f us/row  alloc $alloc")
     }
     // repair-path cost split: rows whose strict parse fails, by size bucket
     val strictIds = parsed.map(_._1).map(t => (t.conv_id, t.turn_idx)).toSet

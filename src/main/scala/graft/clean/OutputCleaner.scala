@@ -42,10 +42,20 @@ object OutputCleaner {
   // (~1.3ms/row), and — unlike Java's Unicode \s — they use Python's exact
   // \s set (Py.isSpace: includes U+001C-001F), closing the round-1 declared
   // separator divergence. Equivalence to the regexes is property-tested.
+  /** Python re's `\s` (= CPython Py_UNICODE_ISSPACE = [[graft.text.Py.isSpace]])
+    * as an explicit Java character class: \t-\r, the information separators
+    * U+001C-001F (NOT in Unicode White_Space, so neither Java default \s nor
+    * UNICODE_CHARACTER_CLASS \s covers them), space, NEL U+0085, and the
+    * Zs/Zl/Zp categories (incl. NBSP, which Java's \s excludes). Property-
+    * tested char-for-char against Py.isSpace over the full BMP.
+    */
+  private[graft] val PyWs = """[\t-\r\x1c-\x1f \x{85}\p{Zs}\p{Zl}\p{Zp}]"""
   private val BboxPattern = Pattern.compile(
-    """"bbox"\s*:\s*\[([^\]]+)\]""", Pattern.UNICODE_CHARACTER_CLASS)
-  private val CategoryPattern = Pattern.compile(""""category"\s*:\s*"([^"]+)"""")
-  private val TextPrefixPattern = Pattern.compile(""""text"\s*:\s*"([^"]{0,10000})""")
+    s""""bbox"$PyWs*:$PyWs*\\[([^\\]]+)\\]""")
+  private val CategoryPattern = Pattern.compile(
+    s""""category"$PyWs*:$PyWs*"([^"]+)"""")
+  private val TextPrefixPattern = Pattern.compile(
+    s""""text"$PyWs*:$PyWs*"([^"]{0,10000})""")
 
   /** Find-all equivalent of CPython's
     * `\{[^{}]*?"bbox"\s*:\s*\[[^\]]*?\][^{}]*?\}` (lazy, DOTALL-irrelevant):

@@ -151,6 +151,27 @@ class PropertySpec extends AnyFunSuite {
       Vector("{\"bbox\"\u001d:\u001e[1]}"))
   }
 
+  test("PyWs character class == Py.isSpace over the full BMP") {
+    val p = java.util.regex.Pattern.compile(OutputCleaner.PyWs)
+    (0 until 0x10000).foreach { cp =>
+      val c = cp.toChar
+      if (!Character.isSurrogate(c))
+        assert(p.matcher(c.toString).matches() === graft.text.Py.isSpace(c),
+          f"divergence at U+$cp%04X")
+    }
+  }
+
+  test("single-incomplete-dict fix matches Python \\s on U+001C-001F and NBSP (C8)") {
+    // goldens pinned by executing the reference's _handle_single_incomplete_dict
+    // (output_cleaner.py:300-343) on these exact strings
+    val t1 = "[{\"bbox\":\u001c[1, 2, 3, 4], \"category\"\u001d:\u001e\"Title\", \"text\"\u001f:\u001c\"hel"
+    assert(OutputCleaner.parseFinalJson(t1).map(_.map(graft.json.PyJson.dumps)) ===
+      Some(Vector("""{"bbox": [1, 2, 3, 4], "category": "Title", "text": "hel"}""")))
+    val t2 = "[{\"bbox\": [5,6,7,8], \"category\"\u00a0:\u00a0\"Formula\", \"text\": \"x"
+    assert(OutputCleaner.parseFinalJson(t2).map(_.map(graft.json.PyJson.dumps)) ===
+      Some(Vector("""{"bbox": [5, 6, 7, 8], "category": "Formula", "text": "x"}""")))
+  }
+
   test("string dedup (C5) preserves first-occurrence order") {
     check(Prop.forAll(Gen.listOfN(8, Gen.oneOf(
       """{"bbox": [1, 2, 3, 4], "category": "Text"}""",
