@@ -327,12 +327,53 @@ object SparkEntry {
     s"""${lshOracleCtes(64, 10, 8)}, cand AS (SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS vec_id FROM coded q JOIN coded c ON q.table_id = c.table_id AND q.bucket = c.bucket WHERE q.vec_id < $nQ AND c.vec_id != q.vec_id), scored AS (SELECT cand.query_id, cand.vec_id, list_dot_product(qb.e, v.e) / (qb.nrm * v.nrm) AS c FROM cand JOIN buck v ON v.vec_id = cand.vec_id JOIN buck qb ON qb.vec_id = cand.query_id), r AS (SELECT query_id, vec_id, c, row_number() OVER (PARTITION BY query_id ORDER BY c DESC, vec_id) AS rank FROM scored) SELECT query_id, rank, vec_id AS neighbor_id, round(c, 6) AS cosine FROM r WHERE rank <= $k ORDER BY query_id, rank"""
   }
 
+  /** Independent DuckDB replay of the ENTIRE IVF pipeline — including the
+    * k-means trainer: seeds (portable md5-prefix hash order), three Lloyd
+    * rounds with the fixed-point integer mean (floor(v·1e6+0.5) longs —
+    * exact, order-free), then assign→probe→rank. Every arithmetic step is
+    * either integer-exact or an IEEE op both engines evaluate identically
+    * (list_dot_product is sequential, matching the codegen'd DotProduct),
+    * so the comparison is bit-exact with NO frozen constants.
+    */
+  private def annIvfOracleSql(dim: Int = 64, nQ: Int = 10, k: Int = 5,
+                              nProbe: Int = 2, nCells: Int = 16,
+                              iters: Int = 3): String = {
+    val sb = new StringBuilder
+    sb ++= "WITH b AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e, " +
+      "sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nrm FROM embeddings), "
+    sb ++= "seedsall AS (SELECT vec_id, e, row_number() OVER (ORDER BY " +
+      "CAST(('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15)) AS BIGINT), vec_id) - 1 AS cell FROM b), "
+    sb ++= s"c0 AS (SELECT cell, e AS ce, sqrt(list_dot_product(e, e)) AS cn FROM seedsall WHERE cell < $nCells), "
+    def assignSql(name: String, cents: String): String =
+      s"$name AS (SELECT vec_id, e, nrm, cell FROM (SELECT b.vec_id, b.e, b.nrm, c.cell, " +
+        s"row_number() OVER (PARTITION BY b.vec_id ORDER BY list_dot_product(b.e, c.ce) / (b.nrm * c.cn) DESC, c.cell) AS pr " +
+        s"FROM b CROSS JOIN $cents c) t WHERE pr = 1)"
+    (1 to iters).foreach { r =>
+      sb ++= assignSql(s"a$r", s"c${r - 1}") + ", "
+      sb ++= s"s$r AS (SELECT cell, pos, sum(CAST(floor(e[pos] * 1000000.0 + 0.5) AS BIGINT)) AS sv, count(*) AS n " +
+        s"FROM a$r CROSS JOIN (SELECT unnest(range(1, ${dim + 1})) AS pos) p GROUP BY cell, pos), "
+      sb ++= s"c$r AS (SELECT cell, ce, sqrt(list_dot_product(ce, ce)) AS cn FROM " +
+        s"(SELECT cell, list(CAST(sv AS DOUBLE) / (CAST(n AS DOUBLE) * 1000000.0) ORDER BY pos) AS ce FROM s$r GROUP BY cell) t), "
+    }
+    sb ++= assignSql("af", s"c$iters") + ", "
+    sb ++= s"q AS (SELECT vec_id AS query_id, e AS qe, nrm AS qn FROM b WHERE vec_id < $nQ), "
+    sb ++= s"pb AS (SELECT query_id, qe, qn, cell FROM (SELECT q.query_id, q.qe, q.qn, c.cell, " +
+      s"row_number() OVER (PARTITION BY q.query_id ORDER BY list_dot_product(q.qe, c.ce) / (q.qn * c.cn) DESC, c.cell) AS pr " +
+      s"FROM q CROSS JOIN c$iters c) t WHERE pr <= $nProbe), "
+    sb ++= "sc AS (SELECT pb.query_id, a.vec_id, list_dot_product(pb.qe, a.e) / (pb.qn * a.nrm) AS c " +
+      "FROM af a JOIN pb ON a.cell = pb.cell WHERE a.vec_id != pb.query_id), "
+    sb ++= "r AS (SELECT query_id, vec_id, c, row_number() OVER (PARTITION BY query_id ORDER BY c DESC, vec_id) AS rank FROM sc) "
+    sb ++= s"SELECT query_id, rank, vec_id AS neighbor_id, round(c, 6) AS cosine FROM r WHERE rank <= $k ORDER BY query_id, rank"
+    sb.toString
+  }
+
   private def cosineNearDupsOracleSql: String =
     s"""${lshOracleCtes(64, 10, 8)}, cand AS (SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b FROM coded a JOIN coded b ON a.table_id = b.table_id AND a.bucket = b.bucket WHERE a.vec_id < b.vec_id), scored AS (SELECT cand.vec_a, cand.vec_b, list_dot_product(x.e, y.e) / (x.nrm * y.nrm) AS c FROM cand JOIN buck x ON x.vec_id = cand.vec_a JOIN buck y ON y.vec_id = cand.vec_b) SELECT vec_a, vec_b, round(c, 6) AS cosine FROM scored WHERE c >= 0.4 ORDER BY vec_a, vec_b"""
 
   /** ANSI SQL oracles (DuckDB). Column names must match the Spark output. */
   def oracleSql: Map[String, String] = Map(
     "vec_ann_lsh" -> annLshOracleSql,
+    "vec_ann_ivf" -> annIvfOracleSql(),
     "vec_near_dups" -> cosineNearDupsOracleSql,
     "extract_turns" ->
       s"""SELECT conv_id, turn_idx, input_width, input_height, cells_json, md, md_nohf, filtered, spans_json FROM read_parquet('$ExpectedT2') ORDER BY conv_id, turn_idx""",
@@ -391,8 +432,12 @@ object SparkEntry {
     "doc_jaccard_brute" ->
       s"""$JaccardCte SELECT doc_a, doc_b, jaccard FROM pairs ORDER BY doc_a, doc_b""",
 
+    // keeper = min doc_id of the CONNECTED COMPONENT in the near-dup graph:
+    // the recursive CTE computes the transitive closure over the exact
+    // Jaccard pairs (fine at oracle scale; the engine side is iterative
+    // min-label propagation with pointer jumping)
     "doc_dedup_keepers" ->
-      s"""$JaccardCte SELECT d.doc_id, coalesce(min(p.doc_a), d.doc_id) AS keeper_doc_id FROM documents d LEFT JOIN pairs p ON p.doc_b = d.doc_id GROUP BY d.doc_id ORDER BY d.doc_id""",
+      s"""WITH RECURSIVE ${JaccardCte.stripPrefix("WITH ")}, edges AS (SELECT doc_a AS u, doc_b AS v FROM pairs UNION ALL SELECT doc_b AS u, doc_a AS v FROM pairs), reach AS (SELECT doc_id AS u, doc_id AS r FROM documents UNION SELECT e.v AS u, reach.r FROM reach JOIN edges e ON e.u = reach.u) SELECT u AS doc_id, min(r) AS keeper_doc_id FROM reach GROUP BY u ORDER BY doc_id""",
 
     "doc_lang_id" ->
       """SELECT doc_id, latin_chars, cjk_chars, cyr_chars, arab_chars, CASE WHEN cjk_chars >= greatest(latin_chars, cyr_chars, arab_chars) AND cjk_chars > 0 THEN 'cjk' WHEN cyr_chars >= greatest(latin_chars, cjk_chars, arab_chars) AND cyr_chars > 0 THEN 'cyrillic' WHEN arab_chars >= greatest(latin_chars, cjk_chars, cyr_chars) AND arab_chars > 0 THEN 'arabic' WHEN latin_chars > 0 THEN 'latin' ELSE 'unknown' END AS script FROM (SELECT doc_id, length(text) - length(regexp_replace(text, '[A-Za-z]', '', 'g')) AS latin_chars, length(text) - length(regexp_replace(text, '[\x{4E00}-\x{9FFF}]', '', 'g')) AS cjk_chars, length(text) - length(regexp_replace(text, '[\x{0400}-\x{04FF}]', '', 'g')) AS cyr_chars, length(text) - length(regexp_replace(text, '[\x{0600}-\x{06FF}]', '', 'g')) AS arab_chars FROM documents) t ORDER BY doc_id""",

@@ -327,16 +327,66 @@ object DocOps {
         concat_ws(":", (0 until w).map(i => col(s"w$i")): _*).as("winnow_sig"))
   }
 
-  /** First-occurrence keeper assignment for near-dup clusters: union exact
-    * + near dup edges, take connected min (single-pass approximation: keeper
-    * = min(doc_a) per doc_b over edges — exact for star-shaped clusters).
+  /** Keeper assignment for near-dup clusters: keeper = MIN doc_id of the
+    * CONNECTED COMPONENT in the near-dup graph (true transitive closure, not
+    * the round-2 single-pass star approximation — a chain A~B, B~C without
+    * an A~C edge now assigns keeper=A to all three).
+    *
+    * Algorithm: min-label propagation with pointer jumping (the
+    * Hash-to-Min family; cf. large-star/small-star). Each round:
+    *   1. label(v) ← min(label(v), min over neighbors' labels)  — one
+    *      shuffle keyed on doc_id, partial-aggregated map-side;
+    *   2. label(v) ← label(label(v))  — pointer jump, one self-join, which
+    *      collapses chains in O(log diameter) rounds instead of O(diameter).
+    * Labels are doc_ids and only ever DECREASE, so sum(label) is a strict
+    * convergence metric: one cheap driver-side aggregate per round, no
+    * row-diff job. Iterations are bounded; the edge set (output of the
+    * bucketed LSH near-dup pass) is persisted once and is tiny relative to
+    * the corpus — the per-round cost is two label-table shuffles of N rows
+    * carrying (id, label) only, never text.
     */
-  def dedupKeepers(docs: DataFrame, tau: Double = 0.5): DataFrame = {
-    val edges = nearDups(docs, tau)
-    val keeper = edges.groupBy(col("doc_b").as("doc_id"))
-      .agg(min(col("doc_a")).as("keeper_doc_id"))
-    docs.select(col("doc_id"))
-      .join(keeper, Seq("doc_id"), "left")
-      .select(col("doc_id"), coalesce(col("keeper_doc_id"), col("doc_id")).as("keeper_doc_id"))
+  def dedupKeepers(docs: DataFrame, tau: Double = 0.5, maxIters: Int = 25): DataFrame = {
+    val spark = docs.sparkSession
+    val edges = nearDups(docs, tau).select(col("doc_a"), col("doc_b"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // undirected adjacency: propagate labels both ways
+    val adj = edges.union(
+      edges.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+
+    var labels = docs.select(col("doc_id"),
+      col("doc_id").as("label")).persist()
+    // sum over decimal(38): exact and overflow-free at any corpus size
+    def labelSum(df: DataFrame): java.math.BigDecimal =
+      df.agg(sum(col("label").cast("decimal(38,0)"))).collect()(0)
+        .getDecimal(0)
+    var prevSum = labelSum(labels)
+    var it = 0
+    var converged = false
+    while (!converged && it < maxIters) {
+      val nbrMin = adj.join(labels, adj("doc_b") === labels("doc_id"))
+        .groupBy(adj("doc_a").as("doc_id"))
+        .agg(min(col("label")).as("nbr_min"))
+      val propagated = labels.join(nbrMin, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          least(col("label"), coalesce(col("nbr_min"), col("label"))).as("label"))
+      // pointer jump: label ← label(label); every label IS a doc_id, so the
+      // self-join always matches
+      val next = propagated.as("a")
+        .join(propagated.select(col("doc_id").as("label"),
+          col("label").as("label2")).as("b"), Seq("label"))
+        .select(col("doc_id"), col("label2").as("label"))
+        .persist()
+      val s = labelSum(next)
+      converged = s.compareTo(prevSum) == 0
+      prevSum = s
+      labels.unpersist()
+      labels = next
+      it += 1
+    }
+    edges.unpersist()
+    // the final label table stays persisted (already materialized by its
+    // labelSum pass): the caller's evaluation reads the cache, not the
+    // unpersisted per-round lineage
+    labels.select(col("doc_id"), col("label").as("keeper_doc_id"))
   }
 }

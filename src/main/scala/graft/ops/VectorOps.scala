@@ -147,71 +147,127 @@ object VectorOps {
       .orderBy(col("vec_a"), col("vec_b"))
   }
 
-  /** Deterministic k-means-lite coarse quantizer: seeds = the nCells vectors
-    * with the smallest xxhash64(vec_id) (reproducible, data-independent
-    * tie-break), then `iters` Lloyd rounds as assign→mean aggregation
-    * passes. Each round is one shuffle keyed by cell.
-    */
-  def kmeansCells(base: DataFrame, nCells: Int, iters: Int = 3): DataFrame = {
-    // Seed selection is a global top-k (smallest hash), NOT a global window:
-    // orderBy(...).limit(k) plans as TakeOrderedAndProject — a tree-reduced
-    // per-partition top-k — where row_number() over an unpartitioned Window
-    // would funnel the ENTIRE corpus through one partition (the round-1
-    // scale-killer). The window below runs on ≤ nCells rows only.
-    val seeds = base.orderBy(xxhash64(col("vec_id")), col("vec_id")).limit(nCells)
-    val wSeed = Window.orderBy(xxhash64(col("vec_id")), col("vec_id"))
-    var centroids = seeds
-      .withColumn("rk", row_number().over(wSeed))
-      .select((col("rk") - 1).as("cell"), col("e").as("ce"))
-      .withColumn("cn", norm(col("ce")))
+  // ------------------------------------------------------------ IVF ANN
 
-    val wAssign = Window.partitionBy(col("vec_id"))
-      .orderBy(col("c_cos").desc, col("cell"))
+  /** A trained coarse-quantizer centroid, driver-resident (≤ nCells of
+    * them by construction — control-plane data, like Spark MLlib's KMeans
+    * cluster centers).
+    */
+  private[graft] final case class Centroid(cell: Int, ce: Array[Double], cn: Double)
+
+  /** Fixed-point quantization scale for the deterministic Lloyd mean:
+    * components are summed as `floor(v·1e6 + 0.5)` longs, so the update is
+    * EXACT integer arithmetic — associative, commutative, identical on any
+    * partitioning/cluster size, and bit-reproducible by the DuckDB oracle.
+    */
+  private[graft] val MeanScale = 1e6
+
+  /** DuckDB-portable 60-bit seed hash (md5-prefix, the SimHash/HLL family). */
+  private def seedHash(c: Column): Column =
+    conv(substring(md5(c.cast("string")), 1, 15), 16, 10).cast("long")
+
+  /** Seed selection is a global top-k (smallest hash): orderBy(...).limit(k)
+    * plans as TakeOrderedAndProject — a tree-reduced per-partition top-k,
+    * never a single-partition global window (the round-1 scale-killer).
+    */
+  private[graft] def kmeansSeedQuery(base: DataFrame, nCells: Int): DataFrame =
+    base.select(col("vec_id"), col("e"))
+      .orderBy(seedHash(col("vec_id")), col("vec_id")).limit(nCells)
+
+  private def centroidLit(cs: Seq[Centroid]): Column =
+    typedLit(cs.map(c => (c.cell, c.ce.toSeq, c.cn)))
+
+  /** Zero-shuffle per-row cell assignment: argmax cosine over the ≤ nCells
+    * driver-collected centroids embedded as ONE array literal, folded with
+    * array_max over (cosine, -cell) structs (ties → smallest cell). This
+    * replaces the round-2 `crossJoin(broadcast) + row_number over
+    * Window.partitionBy(vec_id)` — which shuffled the nCells-expanded corpus
+    * once per Lloyd round — with a pure per-row projection.
+    */
+  private def bestCell(e: Column, nrm: Column, cs: Seq[Centroid]): Column = {
+    val best = array_max(transform(centroidLit(cs), c =>
+      struct((dot(e, c.getField("_2")) / (nrm * c.getField("_3"))).as("c"),
+        (-c.getField("_1")).as("nc"))))
+    -best.getField("nc")
+  }
+
+  /** Sequential (left-to-right) self-dot — matches DuckDB list_dot_product
+    * and the codegen'd [[graft.functions.DotProduct]] bit-for-bit.
+    */
+  private def seqNorm(a: Array[Double]): Double = {
+    var s = 0.0
+    var i = 0
+    while (i < a.length) { s += a(i) * a(i); i += 1 }
+    math.sqrt(s)
+  }
+
+  /** Deterministic k-means-lite trainer (Lloyd): seeds = the nCells vectors
+    * with the smallest portable hash, then `iters` rounds of
+    * assign → fixed-point mean. Each round is ONE narrow N-row shuffle: the
+    * zero-shuffle argmax assignment feeds [[graft.functions.VectorSumL]]
+    * (8·dim-byte partials per partition), and the ≤ nCells (sum, count)
+    * rows are collected to the driver where the new centroids are computed
+    * as `sum / (n · MeanScale)` — every arithmetic step IEEE-exact or
+    * integer-exact, so the trained centroids are independent of execution
+    * order AND recomputable bit-for-bit by an external engine (the
+    * `vec_ann_ivf` oracle replays the full trainer in DuckDB).
+    *
+    * Cells that lose all members drop out (both engines drop the empty
+    * group identically).
+    */
+  def trainCentroids(base: DataFrame, nCells: Int, iters: Int = 3): Seq[Centroid] = {
+    val seeds = kmeansSeedQuery(base, nCells).collect()
+    var cents: Seq[Centroid] = seeds.zipWithIndex.map { case (r, i) =>
+      val e = r.getSeq[Double](1).toArray
+      Centroid(i, e, seqNorm(e))
+    }.toSeq
     for (_ <- 0 until iters) {
-      val assigned = base.crossJoin(broadcast(centroids))
-        .withColumn("c_cos", dot(col("e"), col("ce")) / (col("nrm") * col("cn")))
-        .withColumn("pr", row_number().over(wAssign))
-        .where(col("pr") === 1)
-        .select(col("cell"), col("e"))
-      centroids = assigned
-        .select(col("cell"), posexplode(col("e")).as(Seq("pos", "v")))
-        .groupBy(col("cell"), col("pos")).agg(avg(col("v")).as("cv"))
+      val sums = base
+        .withColumn("cell", bestCell(col("e"), col("nrm"), cents))
         .groupBy(col("cell"))
-        .agg(array_sort(collect_list(struct(col("pos"), col("cv")))).as("pcs"))
-        .select(col("cell"), transform(col("pcs"), p => p.getField("cv")).as("ce"))
-        .withColumn("cn", norm(col("ce")))
-      centroids.cache().count() // materialize per Lloyd round
+        .agg(graft.functions.VectorSumL.vec_lsum(col("e"), MeanScale).as("s"),
+          count(lit(1)).as("n"))
+        .collect()
+      cents = sums.map { r =>
+        val s = r.getSeq[Long](1).toArray
+        val n = r.getLong(2)
+        val ce = s.map(x => x.toDouble / (n.toDouble * MeanScale))
+        Centroid(r.getInt(0), ce, seqNorm(ce))
+      }.sortBy(_.cell).toSeq
     }
-    centroids
+    cents
   }
 
   /** IVF-style ANN: k-means-lite coarse cells, queries probe the nProbe
-    * nearest centroids, exact cosine only over those inverted lists.
+    * nearest centroids, exact cosine only over those inverted lists. The
+    * corpus side never expands or shuffles: assignment is a per-row argmax
+    * projection, probes broadcast, and the only exchange below the final
+    * per-query rank is the candidate set keyed on query_id.
     */
   def annIvf(emb: DataFrame, nQueries: Int = 10, k: Int = 5,
-             nProbe: Int = 2, nCells: Int = 16): DataFrame = {
+             nProbe: Int = 2, nCells: Int = 16, iters: Int = 3): DataFrame = {
+    // scanned iters+2 times (training collects + final query): persist the
+    // projected (id, e, nrm) once, spill-to-disk beyond memory
     val base = emb.select(col("vec_id"), toDouble(col("embedding")).as("e"))
       .withColumn("nrm", norm(col("e")))
-    val centroids = kmeansCells(base, nCells)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cents = trainCentroids(base, nCells, iters)
+    val cLit = centroidLit(cents)
 
-    val wAssign = Window.partitionBy(col("vec_id"))
-      .orderBy(col("c_cos").desc, col("cell"))
-    val assigned = base.crossJoin(broadcast(centroids))
-      .withColumn("c_cos", dot(col("e"), col("ce")) / (col("nrm") * col("cn")))
-      .withColumn("pr", row_number().over(wAssign))
-      .where(col("pr") === 1)
-      .select(col("vec_id"), col("e"), col("nrm"), col("cell"))
+    val assigned = base.withColumn("cell", bestCell(col("e"), col("nrm"), cents))
 
-    val queries = base.where(col("vec_id") < nQueries)
+    // per-query probe list: sort the ≤ nCells (−cosine, cell) structs,
+    // take nProbe — again a per-row projection over the centroid literal
+    val probeCells = slice(array_sort(transform(cLit, c =>
+      struct((-(dot(col("qe"), c.getField("_2")) /
+        (col("qn") * c.getField("_3")))).as("nc"),
+        c.getField("_1").as("cell")))), 1, nProbe)
+    val probes = base.where(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("e").as("qe"), col("nrm").as("qn"))
-    val wProbe = Window.partitionBy(col("query_id"))
-      .orderBy(col("c_cos").desc, col("cell"))
-    val probes = queries.crossJoin(broadcast(centroids))
-      .withColumn("c_cos", dot(col("qe"), col("ce")) / (col("qn") * col("cn")))
-      .withColumn("pr", row_number().over(wProbe))
-      .where(col("pr") <= nProbe)
-      .select(col("query_id"), col("qe"), col("qn"), col("cell"))
+      .withColumn("cell", explode(transform(probeCells, p => p.getField("cell"))))
 
+    // each vector lives in exactly ONE cell and a query's probed cells are
+    // distinct, so the join yields each (query, vector) at most once
     val scored = assigned.join(broadcast(probes), Seq("cell"))
       .where(col("vec_id") =!= col("query_id"))
       .withColumn("cosine", dot(col("qe"), col("e")) / (col("qn") * col("nrm")))
@@ -223,4 +279,13 @@ object VectorOps {
         round(col("cosine"), 6).as("cosine"))
       .orderBy(col("query_id"), col("rank"))
   }
+
+  /** SQL DOUBLE literals of the trained centroids (shortest round-trip
+    * digits, the planeSqlLiterals technique) — exposed for external
+    * verification tooling.
+    */
+  private[graft] def centroidSqlLiterals(cs: Seq[Centroid]): Seq[(Int, String, String)] =
+    cs.map(c => (c.cell,
+      c.ce.map(d => java.lang.Double.toString(d)).mkString("[", ", ", "]"),
+      java.lang.Double.toString(c.cn)))
 }

@@ -62,6 +62,31 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(pairs.forall(_.getDouble(2) === 1.0))
   }
 
+  test("dedup keepers follow transitive chains (connected components, not star)") {
+    val s = spark
+    import s.implicits._
+    // sliding-window chain: J(A,B)=J(B,C)=14/22≈0.64 ≥ τ, but
+    // J(A,C)=10/26≈0.38 < τ — no direct A~C edge, only the chain
+    def words(from: Int, to: Int): String =
+      (from to to).map(i => s"tok$i").mkString(" ")
+    val d = Seq(
+      (1L, words(1, 20)),   // A
+      (2L, words(5, 24)),   // B: linked to A
+      (3L, words(9, 28)),   // C: linked to B only
+      (10L, words(50, 69)), // isolated
+      (20L, words(80, 99)), // pair keeper
+      (21L, words(80, 99))  // exact dup of 20
+    ).toDF("doc_id", "text")
+    // sanity: the edge set really is the chain (no A~C edge)
+    val edges = DocOps.nearDups(d, 0.5).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet // doc_a < doc_b already
+    assert(edges === Set((1L, 2L), (2L, 3L), (20L, 21L)))
+    val keepers = DocOps.dedupKeepers(d, 0.5).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(keepers === Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      10L -> 10L, 20L -> 20L, 21L -> 20L))
+  }
+
   test("SimHash: near-dup pairs have small hamming distance; identical text -> 0") {
     val fps = DocOps.simhash(docs).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toMap
@@ -148,9 +173,37 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
   }
 
   test("IVF seeding plans as TakeOrderedAndProject, not a single-partition global window") {
-    val plan = VectorOps.annIvf(clusteredEmb).queryExecution.executedPlan.toString
+    import org.apache.spark.sql.functions._
+    val base = clusteredEmb.select(col("vec_id"),
+      transform(col("embedding"), x => x.cast("double")).as("e"))
+    val plan = VectorOps.kmeansSeedQuery(base, 16)
+      .queryExecution.executedPlan.toString
     assert(plan.contains("TakeOrderedAndProject"),
       s"seed top-k should be tree-reduced, plan was:\n${plan.take(2000)}")
+  }
+
+  test("IVF corpus side never expands or shuffles (no vec_id window, no cross join)") {
+    val df = VectorOps.annIvf(clusteredEmb)
+    val lp = df.queryExecution.optimizedPlan
+    val windowParts = lp.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window =>
+        w.partitionSpec.flatMap(_.references.toSeq).map(_.name)
+    }
+    // the ONLY window left is the final per-query rank — the Lloyd-round
+    // and final assignments are per-row argmax projections, not
+    // Window.partitionBy(vec_id) over a crossJoin-expanded corpus
+    assert(windowParts.nonEmpty)
+    assert(windowParts.forall(_.forall(_ == "query_id")),
+      s"unexpected window partitioning: $windowParts")
+    val crossJoins = lp.collect {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join
+        if j.joinType.toString.toLowerCase.contains("cross") => j
+    }
+    assert(crossJoins.isEmpty, "corpus must not cross-join the centroids")
+    // the trained centroids are order-insensitive: same result after
+    // repartitioning the corpus
+    val again = VectorOps.annIvf(clusteredEmb.repartition(7))
+    assert(df.collect().toSeq === again.collect().toSeq)
   }
 
   test("ANN-LSH on uniform embeddings still runs and beats random scanning") {
