@@ -281,6 +281,26 @@ object SparkEntry {
         .orderBy("conv_id", "turn_idx")
     }),
 
+    // Q4/Q5 promoted into the driver contract: run the CHECKPOINTED
+    // pipeline twice (second increment must resume to zero rows), then
+    // expose the deterministic bucket-lineage table it wrote; the oracle
+    // recomputes the same lineage from the reference-golden parquet — so a
+    // green row certifies the checkpoint/resume path produced exactly the
+    // reference's row set (error_rows stays engine-side: the golden has no
+    // status column; it is spec-asserted instead)
+    "extract_lineage" -> ((s, _) => {
+      val out = java.nio.file.Files.createTempDirectory("graft-lineage")
+        .toFile.getAbsolutePath
+      Extract.runCheckpointed(s, TranscriptsT2, out)
+      val m2 = Extract.runCheckpointed(s, TranscriptsT2, out)
+      require(m2("rows").asInstanceOf[Long] == 0L,
+        s"resume re-processed ${m2("rows")} rows; expected 0")
+      s.read.parquet(s"$out/lineage_buckets")
+        .select(col("bucket"), col("rows_out"), col("filtered_rows"),
+          col("md_chars"), col("min_conv_id"), col("max_conv_id"))
+        .orderBy(col("bucket"))
+    }),
+
     // ---- multimodal binary-column plumbing (decode step stubbed) ----
     "mm_manifest" -> ((s, dir) => MultimodalOps.assetManifest(docs(s, dir))),
 
@@ -389,6 +409,11 @@ object SparkEntry {
 
     "extract_range" ->
       s"""SELECT conv_id, turn_idx, cells_json, md, filtered FROM read_parquet('$ExpectedT2') WHERE turn_idx BETWEEN 2 AND 5 ORDER BY conv_id, turn_idx""",
+
+    // bucket lineage recomputed from the reference-golden parquet with the
+    // same portable conv_id hash (md5-prefix % 32)
+    "extract_lineage" ->
+      s"""SELECT CAST(('0x' || substr(md5(conv_id), 1, 15)) AS BIGINT) % 32 AS bucket, count(*) AS rows_out, CAST(sum(CASE WHEN filtered THEN 1 ELSE 0 END) AS BIGINT) AS filtered_rows, CAST(sum(length(coalesce(md, ''))) AS BIGINT) AS md_chars, min(conv_id) AS min_conv_id, max(conv_id) AS max_conv_id FROM read_parquet('$ExpectedT2') GROUP BY 1 ORDER BY bucket""",
 
     "eval_md" ->
       s"""SELECT conv_id, turn_idx, coalesce(md_nohf, md) AS eval_md FROM read_parquet('$ExpectedT2') ORDER BY conv_id, turn_idx""",

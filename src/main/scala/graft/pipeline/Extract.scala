@@ -171,8 +171,11 @@ object Extract {
     val (df, obs) = withObservedMetrics(
       extract(remaining).sortWithinPartitions("conv_id", "turn_idx"))
     df.write.mode("append").parquet(s"$outDir/results")
-    partitionLineage(spark.read.parquet(s"$outDir/results"))
+    val all = spark.read.parquet(s"$outDir/results")
+    partitionLineage(all)
       .write.mode("overwrite").parquet(s"$outDir/lineage")
+    bucketLineage(all)
+      .write.mode("overwrite").parquet(s"$outDir/lineage_buckets")
     obs.get.map { case (k, v) => k -> v }
   }
 
@@ -188,6 +191,31 @@ object Extract {
         count(lit(1)).as("rows_out"),
         sum(when(col("filtered"), 1L).otherwise(0L)).as("filtered_rows"),
         sum(when(col("status") === "error", 1L).otherwise(0L)).as("error_rows"),
+        min(col("conv_id")).as("min_conv_id"),
+        max(col("conv_id")).as("max_conv_id"))
+  }
+
+  /** Deterministic CONTENT-keyed lineage: per conv_id-hash bucket, rows out,
+    * filtered/error counts, md volume, conv_id range. Physical-partition
+    * lineage ([[partitionLineage]], also written) reflects the run that
+    * happened — useful operationally but unstable across re-runs and
+    * cluster sizes; bucket lineage is the AUDITABLE surface: identical for
+    * any execution that produced the correct row set, so an external engine
+    * can recompute it from ground truth (the `extract_lineage` oracle does,
+    * from the reference-golden parquet). The hash is the portable
+    * md5-prefix family (DuckDB-recomputable).
+    */
+  def bucketLineage(results: DataFrame, nBuckets: Int = 32): DataFrame = {
+    results
+      .withColumn("bucket",
+        pmod(conv(substring(md5(col("conv_id")), 1, 15), 16, 10).cast("long"),
+          lit(nBuckets.toLong)))
+      .groupBy(col("bucket"))
+      .agg(
+        count(lit(1)).as("rows_out"),
+        sum(when(col("filtered"), 1L).otherwise(0L)).as("filtered_rows"),
+        sum(when(col("status") === "error", 1L).otherwise(0L)).as("error_rows"),
+        sum(length(coalesce(col("md"), lit("")))).as("md_chars"),
         min(col("conv_id")).as("min_conv_id"),
         max(col("conv_id")).as("max_conv_id"))
   }

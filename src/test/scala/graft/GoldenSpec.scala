@@ -93,6 +93,15 @@ class GoldenSpec extends AnyFunSuite with BeforeAndAfterAll {
     val lineage = spark.read.parquet(s"$out/lineage")
     assert(lineage.agg(org.apache.spark.sql.functions.sum("rows_out"))
       .collect()(0).getLong(0) === 1163L)
+    // deterministic bucket lineage: same totals, error rows carried (Q4)
+    val buckets = spark.read.parquet(s"$out/lineage_buckets")
+    val tot = buckets.agg(
+      org.apache.spark.sql.functions.sum("rows_out"),
+      org.apache.spark.sql.functions.sum("error_rows")).collect()(0)
+    assert(tot.getLong(0) === 1163L)
+    val errTotal = spark.read.parquet(s"$out/results")
+      .where(org.apache.spark.sql.functions.col("status") === "error").count()
+    assert(tot.getLong(1) === errTotal)
   }
 
   test("error rows are carried with reason, never dropped (Q4)") {
