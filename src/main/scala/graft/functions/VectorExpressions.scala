@@ -70,6 +70,110 @@ case class DotProduct(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** All nTables sign-random-projection bucket codes of a vector in ONE
+  * codegen'd pass: for table t, code_t = fold over its nBits hyperplanes of
+  * `code*2 + (⟨e, plane⟩ > 0 ? 1 : 0)`.
+  *
+  * Replaces the interpreted HOF formulation
+  * `transform(planes, p => dot(e,p))` + `aggregate(slice(...))` — HOFs are
+  * CodegenFallback in Spark, so every per-plane lambda call was virtual and
+  * allocated; this is a single flat loop nest with no intermediate arrays.
+  * Dot products accumulate LEFT-TO-RIGHT exactly like [[DotProduct]] (and
+  * DuckDB's list_dot_product), so bucket codes are bit-identical to both
+  * the HOF formulation (spec-asserted) and the external oracle.
+  *
+  * `right` must evaluate to the nTables·nBits hyperplanes as an
+  * array<array<double>> (in practice a literal, like the planes in
+  * [[graft.ops.VectorOps.lshCodes]]).
+  */
+case class SignProjectBuckets(left: Expression, right: Expression,
+                              nBits: Int, nTables: Int)
+    extends BinaryExpression {
+
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(
+      org.apache.spark.sql.types.LongType, containsNull = false)
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    def vec(dt: DataType): Boolean = dt match {
+      case ArrayType(DoubleType, _) => true
+      case _ => false
+    }
+    val planesOk = right.dataType match {
+      case ArrayType(inner, _) => vec(inner)
+      case _ => false
+    }
+    if (vec(left.dataType) && planesOk)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"sign_project_buckets expects (array<double>, array<array<double>>), got " +
+        s"(${left.dataType.simpleString}, ${right.dataType.simpleString})")
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val e = a.asInstanceOf[ArrayData]
+    val planes = b.asInstanceOf[ArrayData]
+    val codes = new Array[Long](nTables)
+    var t = 0
+    while (t < nTables) {
+      var code = 0L
+      var j = 0
+      while (j < nBits) {
+        val plane = planes.getArray(t * nBits + j)
+        val n = math.min(e.numElements(), plane.numElements())
+        var acc = 0.0
+        var i = 0
+        while (i < n) {
+          if (!e.isNullAt(i) && !plane.isNullAt(i))
+            acc += e.getDouble(i) * plane.getDouble(i)
+          i += 1
+        }
+        code = code * 2 + (if (acc > 0) 1L else 0L)
+        j += 1
+      }
+      codes(t) = code
+      t += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(codes)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (e, planes) => {
+      val codes = ctx.freshName("codes")
+      val t = ctx.freshName("t")
+      val j = ctx.freshName("j")
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val acc = ctx.freshName("acc")
+      val code = ctx.freshName("code")
+      val plane = ctx.freshName("plane")
+      s"""
+         |long[] $codes = new long[$nTables];
+         |for (int $t = 0; $t < $nTables; $t++) {
+         |  long $code = 0L;
+         |  for (int $j = 0; $j < $nBits; $j++) {
+         |    org.apache.spark.sql.catalyst.util.ArrayData $plane =
+         |      $planes.getArray($t * $nBits + $j);
+         |    int $n = java.lang.Math.min($e.numElements(), $plane.numElements());
+         |    double $acc = 0.0;
+         |    for (int $i = 0; $i < $n; $i++) {
+         |      if (!$e.isNullAt($i) && !$plane.isNullAt($i)) {
+         |        $acc += $e.getDouble($i) * $plane.getDouble($i);
+         |      }
+         |    }
+         |    $code = $code * 2L + ($acc > 0 ? 1L : 0L);
+         |  }
+         |  $codes[$t] = $code;
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($codes);
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+                                                 newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 object VectorExpressions {
   /** Register `dot_product` for the SQL surface. */
   def register(spark: SparkSession): Unit =
@@ -83,5 +187,14 @@ object VectorExpressions {
     import org.apache.spark.sql.GraftColumnBridge
     GraftColumnBridge.column(DotProduct(GraftColumnBridge.expression(a),
       GraftColumnBridge.expression(b)))
+  }
+
+  /** Column API surface for [[SignProjectBuckets]]. */
+  def sign_project_buckets(e: Column, planes: Column,
+                           nBits: Int, nTables: Int): Column = {
+    import org.apache.spark.sql.GraftColumnBridge
+    GraftColumnBridge.column(SignProjectBuckets(
+      GraftColumnBridge.expression(e), GraftColumnBridge.expression(planes),
+      nBits, nTables))
   }
 }

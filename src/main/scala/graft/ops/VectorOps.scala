@@ -80,12 +80,12 @@ object VectorOps {
   def lshCodes(emb: DataFrame, dim: Int, nBits: Int, nTables: Int): DataFrame = {
     val e = toDouble(col("embedding"))
     val planesLit = typedLit(planes(dim, nBits, nTables))
-    // proj[i] = <e, plane_i>; bucket_t = bits (t*nBits..t*nBits+nBits-1)
-    // folded as acc*2 + sign-bit — all array HOFs, O(1) expression tree.
-    val proj = transform(planesLit, p => dot(e, p))
-    val codes = transform(sequence(lit(0), lit(nTables - 1)), t =>
-      aggregate(slice(proj, t * lit(nBits) + 1, lit(nBits)), lit(0L),
-        (acc, x) => acc * 2 + when(x > 0, 1L).otherwise(0L)))
+    // ONE codegen'd expression computes every table's bucket code (the
+    // round-2 HOF formulation — transform + aggregate(slice(...)) — ran its
+    // lambdas interpreted per plane; SignProjectBuckets is bit-identical to
+    // it, spec-asserted, with a flat loop nest and no intermediate arrays)
+    val codes = graft.functions.VectorExpressions
+      .sign_project_buckets(e, planesLit, nBits, nTables)
     emb.select(col("vec_id"), col("embedding"),
       posexplode(codes).as(Seq("table_id", "bucket")))
   }

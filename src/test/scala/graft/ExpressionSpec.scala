@@ -57,6 +57,38 @@ class ExpressionSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(df.agg(sum(col("d"))).collect()(0).getDouble(0) === (0 until 100).map(i => 3.0 * i + 2.0 * i).sum)
   }
 
+  test("SignProjectBuckets equals the HOF bucket fold bit-for-bit on real embeddings") {
+    import graft.ops.VectorOps
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("e"))
+    val nBits = 10; val nTables = 8
+    val planesLit = typedLit(VectorOps.planes(64, nBits, nTables))
+    // the round-2 interpreted formulation, reconstructed verbatim
+    val proj = transform(planesLit, p =>
+      aggregate(zip_with(col("e"), p, (x, y) => x * y), lit(0.0), (a, x) => a + x))
+    val hof = transform(sequence(lit(0), lit(nTables - 1)), t =>
+      aggregate(slice(proj, t * lit(nBits) + 1, lit(nBits)), lit(0L),
+        (acc, x) => acc * 2 + when(x > 0, 1L).otherwise(0L)))
+    val native = VectorExpressions.sign_project_buckets(
+      col("e"), planesLit, nBits, nTables)
+    val diff = emb.select(hof.as("h"), native.as("n"))
+      .where(not(col("h") <=> col("n"))).count()
+    assert(diff === 0L)
+  }
+
+  test("SignProjectBuckets codegen path evaluates (whole-stage codegen plan)") {
+    import graft.ops.VectorOps
+    val planesLit = typedLit(VectorOps.planes(2, 4, 3))
+    val df = spark.range(50).select(
+      graft.functions.VectorExpressions.sign_project_buckets(
+        array(col("id").cast("double"), lit(-1.0)), planesLit, 4, 3).as("c"))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("*(1) Project"), plan)
+    val codes = df.collect().map(_.getSeq[Long](0))
+    assert(codes.forall(cs => cs.length === 3 && cs.forall(c => c >= 0 && c < 16)))
+  }
+
   test("null semantics: null array -> null; short arrays use common prefix") {
     VectorExpressions.register(spark)
     val r = spark.sql(
