@@ -73,6 +73,50 @@ object Profile {
       println(f"MICRO $name ${perTurn / 1000}%.2f us/turn  alloc $alloc")
     }
     bench("full_extract", 5)(ExtractTurn.apply)
+    val fusedHits = rows.count { t =>
+      val (oh, ow) = graft.pipeline.PageGeom.of(t.conv_id, t.turn_idx)
+      val (ih, iw) = graft.geom.SmartResize.smartResize(oh, ow)
+      val (ih2, iw2) = graft.geom.SmartResize.smartResize(ih, iw)
+      graft.pipeline.ExtractTurn.LayoutModes.contains(t.tool) &&
+        graft.json.StrictFast.transcode(t.text,
+          iw2.toDouble / ow, ih2.toDouble / oh).isInstanceOf[graft.json.StrictFast.Ok]
+    }
+    println(s"MICRO fused_hits $fusedHits of $n")
+    val fusedRows = rows.filter { t =>
+      val (oh, ow) = graft.pipeline.PageGeom.of(t.conv_id, t.turn_idx)
+      val (ih, iw) = graft.geom.SmartResize.smartResize(oh, ow)
+      val (ih2, iw2) = graft.geom.SmartResize.smartResize(ih, iw)
+      graft.pipeline.ExtractTurn.LayoutModes.contains(t.tool) &&
+        graft.json.StrictFast.transcode(t.text,
+          iw2.toDouble / ow, ih2.toDouble / oh).isInstanceOf[graft.json.StrictFast.Ok]
+    }
+    // same-JVM INTERLEAVED A/B (min-of-rounds): host capacity drifts too
+    // much for cross-run — or even sequential same-JVM — comparison
+    def abRows(name: String, rs: Array[Turn], rounds: Int): Unit = {
+      val tid = Thread.currentThread().getId
+      var i = 0
+      while (i < 2) { rs.foreach(ExtractTurn.apply); i += 1 } // warmup
+      var bestA = Double.MaxValue; var bestB = Double.MaxValue
+      var allocA = Double.MaxValue; var allocB = Double.MaxValue
+      for (_ <- 0 until rounds; fused <- Seq(true, false)) {
+        graft.pipeline.ExtractTurn.strictFastEnabled = fused
+        val a0 = tmx.fold(0L)(_.getThreadAllocatedBytes(tid))
+        val t0 = System.nanoTime()
+        rs.foreach(ExtractTurn.apply)
+        val per = (System.nanoTime() - t0).toDouble / rs.length
+        val al = tmx.fold(0.0)(t =>
+          (t.getThreadAllocatedBytes(tid) - a0).toDouble / rs.length)
+        if (fused) { bestA = math.min(bestA, per); allocA = math.min(allocA, al) }
+        else { bestB = math.min(bestB, per); allocB = math.min(allocB, al) }
+      }
+      graft.pipeline.ExtractTurn.strictFastEnabled = true
+      println(f"MICRO $name n=${rs.length} fused ${bestA / 1000}%.2f us/row ${allocA}%.0f B  old ${bestB / 1000}%.2f us/row ${allocB}%.0f B  speedup ${bestB / bestA}%.2fx")
+    }
+    abRows("AB_fused_subset", fusedRows, 6)
+    abRows("AB_full_corpus", rows, 6)
+    bench("strict_fast_only", 5) { t =>
+      graft.json.StrictFast.transcode(t.text, 1.0, 1.0)
+    }
     bench("pyjson_parse_only", 5) { t =>
       try graft.json.PyJson.parse(t.text) catch { case _: Exception => null }
     }

@@ -111,6 +111,13 @@ object ExtractTurn {
 
   private final class KeyErrorLike(msg: String) extends RuntimeException(msg)
 
+  /** Kill switch for the fused strict path (-Dgraft.strictfast=off):
+    * operational escape hatch + same-JVM A/B benchmarking (host capacity
+    * drifts too much for cross-run comparison).
+    */
+  @volatile private[graft] var strictFastEnabled: Boolean =
+    !sys.props.get("graft.strictfast").contains("off")
+
   /** Python float(x) for the values a bbox coordinate can hold. */
   private def pyFloat(v: JValue): Double = v match {
     case JInt(i)  => i.toDouble
@@ -214,10 +221,43 @@ object ExtractTurn {
           filtered = false, status = "ok", error_reason = None,
           spans = Nil, clean_ops = CleanOpsRow.from(CleanOps.none))
       } else {
-        // C1 strict parse + P7 rescale (layout_utils.py:206-218)
+        // C1 strict parse + P7 rescale, FUSED fast path first
+        // (graft.json.StrictFast): one pass, no JValue tree, byte-identical
+        // output for the common shape; anything unusual falls back to the
+        // tree path below, which replays from the raw text — so
+        // classification (strict/repair/error) and bytes are unchanged by
+        // construction
+        import graft.json.StrictFast
+        val fast: StrictFast.Result = if (strictFastEnabled) {
+          val (ih2, iw2) = SmartResize.smartResize(ih, iw)
+          StrictFast.transcode(
+            t.text, iw2.toDouble / origW, ih2.toDouble / origH)
+        } else StrictFast.ShapeFail
+        fast match {
+          case StrictFast.Ok(cellsJson, lean) =>
+            return (if (t.tool == "prompt_layout_only_en") {
+              TurnResult(t.conv_id, t.turn_idx, t.role, t.tool, origW, origH, iw, ih,
+                cells_json = Some(cellsJson), md = None, md_nohf = None,
+                filtered = false, status = "ok", error_reason = None,
+                spans = Nil, clean_ops = CleanOpsRow.from(CleanOps.none))
+            } else {
+              val (md, spans, mdNohf) = FormatTransformer.layoutJsonToMdBothLean(lean)
+              TurnResult(t.conv_id, t.turn_idx, t.role, t.tool, origW, origH, iw, ih,
+                cells_json = Some(cellsJson), md = Some(md), md_nohf = Some(mdNohf),
+                filtered = false, status = "ok", error_reason = None,
+                spans = spans.map(s => SpanRow(s.cellIdx, s.category, s.start, s.end)),
+                clean_ops = CleanOpsRow.from(CleanOps.none))
+            })
+          case _ => () // tree path below
+        }
+
         var parsed: Option[JValue] = None
         val strictResult: Option[Vector[JValue]] =
-          try {
+          // ParseFail is the transcoder's GUARANTEE that PyJson.parse throws
+          // on this text (same grammar, spec-asserted) — skip the redundant
+          // tree parse so repair rows pay only ONE scan before the ladder
+          if (fast eq StrictFast.ParseFail) None
+          else try {
             val v = PyJson.parse(t.text)
             parsed = Some(v)
             val items = v match {

@@ -163,6 +163,30 @@ object FormatTransformer {
     }
   }
 
+  /** [[layoutJsonToMdBoth]] over the fused strict path's lean cells
+    * (graft.json.StrictFast) — same per-cell dispatch, same assemble, no
+    * JValue tree. The piece functions (picturePlaceholder /
+    * getFormulaInMarkdown / cleanText) are shared, so output — including
+    * the exceptions that classify a row as error — is identical.
+    */
+  def layoutJsonToMdBothLean(cells: Vector[graft.json.StrictFast.LeanCell]): (String, Vector[Span], String) = {
+    val pieces = cells.map { c =>
+      val piece = c.category match {
+        case "Picture" => picturePlaceholder(c.x1, c.y1, c.x2, c.y2)
+        case "Formula" => getFormulaInMarkdown(c.text)
+        case _         => cleanText(c.text)
+      }
+      (c.category, piece)
+    }
+    val (md, spans) = assemble(pieces, noPageHf = false)
+    val hasHf = pieces.exists(p => p._1 == "Page-header" || p._1 == "Page-footer")
+    if (!hasHf) (md, spans, md)
+    else {
+      val (mdNohf, _) = assemble(pieces, noPageHf = true)
+      (md, spans, mdNohf)
+    }
+  }
+
   private def assemble(pieces: Vector[(String, String)],
                        noPageHf: Boolean): (String, Vector[Span]) = {
     var cap = 2 * pieces.length

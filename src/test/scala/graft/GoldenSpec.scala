@@ -104,6 +104,53 @@ class GoldenSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(tot.getLong(1) === errTotal)
   }
 
+  test("fused strict path equals the tree path on every t2 turn") {
+    import graft.json.{JArr, PyJson, StrictFast}
+    import graft.geom.SmartResize
+    import graft.pipeline.PageGeom
+    val turns = Extract.readTranscripts(spark, "data/transcripts_t2").collect()
+    var fastRows = 0
+    var parseFails = 0
+    turns.foreach { t =>
+      val (origH, origW) = PageGeom.of(t.conv_id, t.turn_idx)
+      val (ih, iw) = SmartResize.smartResize(origH, origW)
+      val (ih2, iw2) = SmartResize.smartResize(ih, iw)
+      val fast = StrictFast.transcode(t.text,
+        iw2.toDouble / origW, ih2.toDouble / origH)
+      // ParseFail guarantee: the tree parse must throw on these
+      if (fast == StrictFast.ParseFail) {
+        parseFails += 1
+        assertThrows[Exception](PyJson.parse(t.text))
+      }
+      fast match { case StrictFast.Ok(fastJson, lean) =>
+        fastRows += 1
+        // the tree path, run independently on the same payload
+        val parsed = PyJson.parse(t.text).asInstanceOf[JArr].items
+        val rescaled = ExtractTurn.postProcessCells(parsed, origW, origH, iw, ih)
+        assert(PyJson.dumps(JArr(rescaled), t.text.length + 64) === fastJson,
+          s"cells_json mismatch at (${t.conv_id}, ${t.turn_idx})")
+        // lean fields feeding the renderer
+        rescaled.zip(lean).foreach { case (cv, lc) =>
+          val cell = cv.asInstanceOf[graft.json.JObj]
+          assert(cell.get("category") === Some(graft.json.JStr(lc.category)))
+          cell.get("text") match {
+            case Some(graft.json.JStr(s)) => assert(lc.text === s)
+            case None                     => assert(lc.text === "")
+            case other                    => fail(s"fused succeeded on non-string text $other")
+          }
+          val JArr(b) = (cell.get("bbox"): @unchecked).get
+          assert(b.map(_.asInstanceOf[graft.json.JInt].v.toInt) ===
+            Vector(lc.x1, lc.y1, lc.x2, lc.y2))
+        }
+        assert(rescaled.length === lean.length)
+      case _ => ()
+      }
+    }
+    info(s"fused path covered $fastRows/${turns.length} turns; $parseFails parse-fail shortcuts")
+    assert(fastRows > turns.length / 3, "fused path should cover the strict majority")
+    assert(parseFails > 0, "corpus should exercise the ParseFail shortcut")
+  }
+
   test("error rows are carried with reason, never dropped (Q4)") {
     import graft.pipeline.{ExtractTurn, Turn}
     // Formula text that preamble-cleans to empty: CPython raises IndexError

@@ -172,6 +172,86 @@ class PropertySpec extends AnyFunSuite {
       Some(Vector("""{"bbox": [5, 6, 7, 8], "category": "Formula", "text": "x"}""")))
   }
 
+  test("fused strict transcoder: success implies tree-path equality (adversarial payloads)") {
+    import graft.json.{JArr, JObj, JStr, JInt, PyJson, StrictFast}
+    import graft.pipeline.ExtractTurn
+    val origW = 1275; val origH = 1650
+    val (ih, iw) = SmartResize.smartResize(origH, origW)
+    val (ih2, iw2) = SmartResize.smartResize(ih, iw)
+    val sx = iw2.toDouble / origW; val sy = ih2.toDouble / origH
+
+    val ws = Gen.oneOf("", "", " ", "\n", "\t ")
+    val scalar = Gen.oneOf("1", "-1", "0", "-0", "42", "1.5", "-0.0", "1e3",
+      "1E-2", "123456789012345678901234567890", "9007199254740993",
+      "NaN", "Infinity", "-Infinity", "true", "false", "null",
+      "\"plain text\"", "\"esc\\n\\t\\\"q\\\" \\\\\"", "\"uni\\u00e9\\u001c\"",
+      "\"sl\\/ash\"", "\"\\ud83d\\ude00\"", "\"日本語テキスト\"", "\"\"")
+    def value(d: Int): Gen[String] =
+      if (d <= 0) scalar
+      else Gen.frequency(
+        (6, scalar),
+        (1, Gen.choose(0, 3).flatMap(n => Gen.listOfN(n, value(d - 1))
+          .map(_.mkString("[", ",", "]")))),
+        (1, Gen.choose(0, 3).flatMap(n => Gen.listOfN(n, for {
+          k <- Gen.oneOf("\"a\"", "\"b\"", "\"bbox\"", "\"a\"") // dups possible
+          v <- value(d - 1)
+        } yield s"$k: $v").map(_.mkString("{", ",", "}")))))
+    val coord = Gen.oneOf("1", "100", "-3", "2.5", "999.75", "0", "-0",
+      "1e2", "\"12\"", "NaN", "[1]", "3000000000")
+    val cellGen = for {
+      nb <- Gen.choose(0, 6)
+      bbox <- Gen.listOfN(nb, coord).map(_.mkString("[", ", ", "]"))
+      cat <- Gen.oneOf("\"Text\"", "\"Picture\"", "\"Formula\"",
+        "\"Page-header\"", "3", "null", "")
+      txt <- Gen.oneOf("\"hello\\nworld\"", "\"x\"", "7", "", "\"\\u0041b\"")
+      extra <- Gen.option(value(2))
+      dupBbox <- Gen.oneOf(true, false, false, false)
+      w1 <- ws; w2 <- ws; w3 <- ws
+    } yield {
+      val fields = scala.collection.mutable.ArrayBuffer[String]()
+      fields += s""""bbox"$w1:$w2$bbox"""
+      if (cat.nonEmpty) fields += s""""category": $cat"""
+      if (txt.nonEmpty) fields += s""""text":$w3$txt"""
+      extra.foreach(e => fields += s""""meta" : $e""")
+      if (dupBbox) fields += s""""bbox": [1,2,3,4]"""
+      fields.mkString("{", ", ", "}")
+    }
+    val payload = for {
+      n <- Gen.choose(0, 5)
+      cells <- Gen.listOfN(n, cellGen)
+      w1 <- ws; w2 <- ws
+      tail <- Gen.oneOf("", "", " ", "x")
+    } yield s"$w1[${cells.mkString(",\n")}]$w2$tail"
+
+    check(Prop.forAll(payload) { s =>
+      StrictFast.transcode(s, sx, sy) match {
+        case StrictFast.ShapeFail => true // replays the tree path: trivially equal
+        case StrictFast.ParseFail =>
+          // the guarantee the ExtractTurn shortcut relies on
+          try { PyJson.parse(s); false } catch { case _: Exception => true }
+        case StrictFast.Ok(fastJson, lean) =>
+          // fused success must imply the tree path succeeds with equal bytes
+          val items = PyJson.parse(s).asInstanceOf[JArr].items
+          val rescaled = ExtractTurn.postProcessCells(items, origW, origH, iw, ih)
+          PyJson.dumps(JArr(rescaled), s.length + 64) == fastJson &&
+            rescaled.length == lean.length &&
+            rescaled.zip(lean).forall { case (cv, lc) =>
+              val cell = cv.asInstanceOf[JObj]
+              cell.get("category") == Some(JStr(lc.category)) &&
+                (cell.get("text") match {
+                  case Some(JStr(t)) => lc.text == t
+                  case None          => lc.text == ""
+                  case _             => false
+                }) && {
+                  val JArr(b) = (cell.get("bbox"): @unchecked).get
+                  b.map(_.asInstanceOf[JInt].v.toInt) ==
+                    Vector(lc.x1, lc.y1, lc.x2, lc.y2)
+                }
+            }
+      }
+    }, "fused == tree on success")
+  }
+
   test("string dedup (C5) preserves first-occurrence order") {
     check(Prop.forAll(Gen.listOfN(8, Gen.oneOf(
       """{"bbox": [1, 2, 3, 4], "category": "Text"}""",
