@@ -114,6 +114,70 @@ object Profile {
     }
     abRows("AB_fused_subset", fusedRows, 6)
     abRows("AB_full_corpus", rows, 6)
+
+    // big-repair-row ladder stage breakdown (the >10KB tail is ~30% of
+    // corpus time; find where it goes before optimizing anything)
+    {
+      import graft.clean.OutputCleaner
+      val big = rows.filter(t => t.text.length > 10000 &&
+        ExtractTurn.LayoutModes.contains(t.tool))
+      if (big.nonEmpty) {
+        def stage(name: String)(f: String => Any): Unit = {
+          var i = 0
+          while (i < 2) { big.foreach(t => f(t.text)); i += 1 }
+          val t0 = System.nanoTime()
+          i = 0
+          while (i < 5) { big.foreach(t => f(t.text)); i += 1 }
+          println(f"MICRO bigstage_$name ${(System.nanoTime() - t0) / 1e3 / (big.length * 5)}%.1f us/row")
+        }
+        stage("transcode_bail")(s => graft.json.StrictFast.transcode(s, 1.0, 1.0))
+        stage("fix_delims")(OutputCleaner.fixMissingDelimiters)
+        stage("truncate")(s => OutputCleaner.truncateLastIncompleteElement(
+          OutputCleaner.fixMissingDelimiters(s)._1))
+        val pre = big.map(t => OutputCleaner.truncateLastIncompleteElement(
+          OutputCleaner.fixMissingDelimiters(t.text)._1)._1)
+        def stage2(name: String)(f: String => Any): Unit = {
+          var i = 0
+          while (i < 2) { pre.foreach(f); i += 1 }
+          val t0 = System.nanoTime()
+          i = 0
+          while (i < 5) { pre.foreach(f); i += 1 }
+          println(f"MICRO bigstage_$name ${(System.nanoTime() - t0) / 1e3 / (pre.length * 5)}%.1f us/row")
+        }
+        stage2("dedup_dicts")(OutputCleaner.removeDuplicateCompleteDictsPreserveOrder)
+        val post = pre.map(s => OutputCleaner.ensureJsonFormat(
+          OutputCleaner.removeDuplicateCompleteDictsPreserveOrder(s)._1))
+        def stage3(name: String)(f: String => Any): Unit = {
+          var i = 0
+          while (i < 2) { post.foreach(f); i += 1 }
+          val t0 = System.nanoTime()
+          i = 0
+          while (i < 5) { post.foreach(f); i += 1 }
+          println(f"MICRO bigstage_$name ${(System.nanoTime() - t0) / 1e3 / (post.length * 5)}%.1f us/row")
+        }
+        stage3("parse_final")(s =>
+          try OutputCleaner.parseFinalJson(s) catch { case _: Exception => None })
+        val lists = post.flatMap(s =>
+          try OutputCleaner.parseFinalJson(s) catch { case _: Exception => None })
+        println(s"MICRO bigstage_parsed_lists n=${lists.length} avgCells=${
+          if (lists.nonEmpty) lists.map(_.length).sum / lists.length else 0}")
+        locally {
+          var i = 0
+          while (i < 2) { lists.foreach(OutputCleaner.removeDuplicateCategoryTextPairsAndBbox); i += 1 }
+          val t0 = System.nanoTime()
+          i = 0
+          while (i < 5) { lists.foreach(OutputCleaner.removeDuplicateCategoryTextPairsAndBbox); i += 1 }
+          println(f"MICRO bigstage_c9_dedup ${(System.nanoTime() - t0) / 1e3 / (lists.length.max(1) * 5)}%.1f us/row")
+        }
+        val shapeBig = big.count(t => graft.json.StrictFast.transcode(t.text, 1.0, 1.0) == graft.json.StrictFast.ShapeFail)
+        println(s"MICRO bigstage_shapefail $shapeBig of ${big.length}")
+        val avgBigLen = big.map(_.text.length.toLong).sum / big.length
+        println(s"MICRO bigstage_avg_chars $avgBigLen")
+        val t0 = System.nanoTime()
+        (0 until 5).foreach(_ => big.foreach(ExtractTurn.apply))
+        println(f"MICRO bigstage_full_apply ${(System.nanoTime() - t0) / 1e3 / (big.length * 5)}%.1f us/row")
+      }
+    }
     bench("strict_fast_only", 5) { t =>
       graft.json.StrictFast.transcode(t.text, 1.0, 1.0)
     }

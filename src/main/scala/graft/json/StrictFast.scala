@@ -95,6 +95,15 @@ object StrictFast {
 
     private def peek: Char = if (pos < s.length) s.charAt(pos) else ' '
 
+    /** Could `c` start ANY value PyJson.parse accepts? If not, parseValue
+      * fails right here — a bailP, not a bailS. (Chars IN this set may
+      * still fail later — e.g. "Nxx" — those stay conservative bailS
+      * sites; the tree replay settles them.)
+      */
+    private def canStartValue(c: Char): Boolean =
+      c == '{' || c == '[' || c == '"' || c == 't' || c == 'f' || c == 'n' ||
+        c == 'N' || c == 'I' || c == '-' || (c >= '0' && c <= '9')
+
     private def skipWs(): Unit = {
       while (pos < s.length && (s.charAt(pos) == ' ' || s.charAt(pos) == '\t' ||
         s.charAt(pos) == '\n' || s.charAt(pos) == '\r')) pos += 1
@@ -139,7 +148,14 @@ object StrictFast {
       * category/text.
       */
     private def cell(): LeanCell = {
-      if (peek != '{') bailS() // valid non-dict cell → tree KeyError → repair
+      if (peek != '{') {
+        // ']' after a trailing comma, ',' etc. cannot start a value: the
+        // tree parser fails here too (the >50k truncation class ends
+        // "...},]" — this turns its 58KB rows into ParseFail, skipping the
+        // redundant tree re-parse)
+        if (canStartValue(peek)) bailS() // valid non-dict cell → KeyError → repair
+        else bailP() // "Expecting value"
+      }
       enter()
       pos += 1
       skipWs()
@@ -174,12 +190,17 @@ object StrictFast {
             val b = bboxValue()
             x1 = b(0); y1 = b(1); x2 = b(2); y2 = b(3)
           case "category" =>
-            if (peek != '"') bailS() // non-string category → error row semantics
+            if (peek != '"') {
+              if (canStartValue(peek)) bailS() // non-string category → error row
+              else bailP()
+            }
             val vStart = pos
             category = string(emit = false)
             emitCapturedString(vStart, category)
           case "text" =>
-            if (peek != '"') bailS()
+            if (peek != '"') {
+              if (canStartValue(peek)) bailS() else bailP()
+            }
             val vStart = pos
             cellText = string(emit = false)
             emitCapturedString(vStart, cellText)
@@ -203,7 +224,10 @@ object StrictFast {
       * dropped, like items(0..3) indexing); emits the rescaled ints.
       */
     private def bboxValue(): Array[Int] = {
-      if (peek != '[') bailS() // valid non-array bbox (string, …) → tree path
+      if (peek != '[') {
+        if (canStartValue(peek)) bailS() // valid non-array bbox (string, …)
+        else bailP() // "Expecting value"
+      }
       enter()
       pos += 1
       skipWs()

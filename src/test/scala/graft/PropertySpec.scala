@@ -220,8 +220,9 @@ class PropertySpec extends AnyFunSuite {
       n <- Gen.choose(0, 5)
       cells <- Gen.listOfN(n, cellGen)
       w1 <- ws; w2 <- ws
+      trailingComma <- Gen.oneOf("", "", "", ",", ", ") // the >50k class shape
       tail <- Gen.oneOf("", "", " ", "x")
-    } yield s"$w1[${cells.mkString(",\n")}]$w2$tail"
+    } yield s"$w1[${cells.mkString(",\n")}$trailingComma]$w2$tail"
 
     check(Prop.forAll(payload) { s =>
       StrictFast.transcode(s, sx, sy) match {
