@@ -272,6 +272,11 @@ object Bench {
     bench("doc_quality") { DocOps.qualityScore(docsDf) }
     bench("vec_cosine_topk") { VectorOps.cosineTopK(embDf) }
     bench("vec_ann_lsh") { VectorOps.annLsh(embDf, dim = 64) }
+    // round 3: IVF's trainer is now zero-shuffle (driver-collected
+    // centroids + argmax projection) and keepers are true connected
+    // components — both promoted into the timed suite
+    bench("vec_ann_ivf") { VectorOps.annIvf(embDf) }
+    bench("doc_dedup_keepers") { DocOps.dedupKeepers(docsDf, 0.5) }
     bench("q1_agg") { SparkEntry.queries("q1_agg")(s1, sfDir) }
     bench("q3_join") { SparkEntry.queries("q3_join")(s1, sfDir) }
     s1.stop()
