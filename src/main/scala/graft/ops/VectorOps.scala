@@ -215,14 +215,23 @@ object VectorOps {
     * Cells that lose all members drop out (both engines drop the empty
     * group identically).
     */
-  def trainCentroids(base: DataFrame, nCells: Int, iters: Int = 3): Seq[Centroid] = {
-    val seeds = kmeansSeedQuery(base, nCells).collect()
+  def trainCentroids(base: DataFrame, nCells: Int, iters: Int = 3,
+                     trainSampleMod: Int = 1): Seq[Centroid] = {
+    // Corpus-scale lever: real IVF trainers fit the quantizer on a sample,
+    // not the full corpus. The sample is DETERMINISTIC and engine-portable
+    // (seed-hash % mod == 0), unlike Bernoulli sample(): the oracle can
+    // replicate it, and the trained centroids stay bit-reproducible.
+    // mod=1 (default, used by the oracled query) trains on everything.
+    val train =
+      if (trainSampleMod <= 1) base
+      else base.where(pmod(seedHash(col("vec_id")), lit(trainSampleMod)) === 0)
+    val seeds = kmeansSeedQuery(train, nCells).collect()
     var cents: Seq[Centroid] = seeds.zipWithIndex.map { case (r, i) =>
       val e = r.getSeq[Double](1).toArray
       Centroid(i, e, seqNorm(e))
     }.toSeq
     for (_ <- 0 until iters) {
-      val sums = base
+      val sums = train
         .withColumn("cell", bestCell(col("e"), col("nrm"), cents))
         .groupBy(col("cell"))
         .agg(graft.functions.VectorSumL.vec_lsum(col("e"), MeanScale).as("s"),
@@ -245,13 +254,16 @@ object VectorOps {
     * per-query rank is the candidate set keyed on query_id.
     */
   def annIvf(emb: DataFrame, nQueries: Int = 10, k: Int = 5,
-             nProbe: Int = 2, nCells: Int = 16, iters: Int = 3): DataFrame = {
+             nProbe: Int = 2, nCells: Int = 16, iters: Int = 3,
+             trainSampleMod: Int = 1): DataFrame = {
     // scanned iters+2 times (training collects + final query): persist the
-    // projected (id, e, nrm) once, spill-to-disk beyond memory
+    // projected (id, e, nrm) once, spill-to-disk beyond memory. At corpus
+    // scale, set trainSampleMod so the TRAINER touches a deterministic
+    // sample and only the final assignment scans everything.
     val base = emb.select(col("vec_id"), toDouble(col("embedding")).as("e"))
       .withColumn("nrm", norm(col("e")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val cents = trainCentroids(base, nCells, iters)
+    val cents = trainCentroids(base, nCells, iters, trainSampleMod)
     val cLit = centroidLit(cents)
 
     val assigned = base.withColumn("cell", bestCell(col("e"), col("nrm"), cents))

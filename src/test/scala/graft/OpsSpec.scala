@@ -206,6 +206,17 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(df.collect().toSeq === again.collect().toSeq)
   }
 
+  test("IVF trained on a deterministic sample still recalls (the corpus-scale path)") {
+    val data = clusteredEmb
+    val exact = VectorOps.cosineTopK(data).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val approx = VectorOps.annIvf(data, trainSampleMod = 4).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    info(s"sampled-trainer ANN-IVF recall = $recall")
+    assert(recall >= 0.8)
+  }
+
   test("ANN-LSH on uniform embeddings still runs and beats random scanning") {
     val exact = VectorOps.cosineTopK(emb).collect()
       .map(r => (r.getLong(0), r.getLong(2))).toSet

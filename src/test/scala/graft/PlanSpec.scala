@@ -68,6 +68,26 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"unused columns must be pruned from the scan: $readSchema")
   }
 
+  test("bucket lineage: scan prunes to the 4 aggregated columns; partial aggregation") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-lineage-plan")
+      .toFile.getAbsolutePath
+    graft.pipeline.Extract.run(spark, "data/transcripts_t1").toDF()
+      .write.mode("overwrite").parquet(tmp)
+    val lineage = graft.pipeline.Extract.bucketLineage(spark.read.parquet(tmp))
+    val formatted = lineage.queryExecution
+      .explainString(org.apache.spark.sql.execution.FormattedMode)
+    val readSchema = formatted.linesIterator.filter(_.contains("ReadSchema")).mkString
+    assert(Seq("conv_id", "filtered", "status", "md").forall(readSchema.contains))
+    assert(!readSchema.contains("cells_json") && !readSchema.contains("spans"),
+      s"lineage must not read payload columns: $readSchema")
+    // one Exchange (on bucket) with map-side partial aggregation below it
+    // (SortAggregate: min/max over the string conv_id has no mutable
+    // hash-agg buffer — the partial/final split is what matters)
+    assert(formatted.contains("Aggregate ("))
+    assert(formatted.linesIterator.count(_.contains("+- Exchange")) === 1,
+      "bucket lineage is one partial-agg shuffle")
+  }
+
   test("extraction hot path has no shuffle (no Exchange below the final aggregate)") {
     val df = graft.pipeline.Extract
       .extract(graft.pipeline.Extract.readTranscripts(spark, "data/transcripts_t1"))
