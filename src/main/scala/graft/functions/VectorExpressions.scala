@@ -198,3 +198,72 @@ object VectorExpressions {
       nBits, nTables))
   }
 }
+
+/** The n-value MinHash stream of one 64-bit base hash: out[i] =
+  * splitmix64(h + (i+1)·φ) where φ is the 64-bit golden-ratio constant —
+  * the standard SplitMix64 sequence, one multiply-xor-shift finalizer per
+  * value.
+  *
+  * Replaces re-hashing the shingle STRING once per hash family
+  * (128 × xxhash64(lit(i), s)): the string is hashed ONCE upstream and the
+  * family is derived with integer mixing — O(n) cheap ops instead of
+  * O(n · |s|) byte hashing, in one codegen'd loop.
+  */
+case class MinhashMix(child: Expression, n: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(
+      org.apache.spark.sql.types.LongType, containsNull = false)
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == org.apache.spark.sql.types.LongType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"minhash_mix expects bigint, got ${child.dataType.simpleString}")
+
+  override def nullSafeEval(input: Any): Any = {
+    val h = input.asInstanceOf[Long]
+    val out = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      out(i) = MinhashMix.mix(h + (i + 1) * MinhashMix.Phi)
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, h =>
+      s"new org.apache.spark.sql.catalyst.util.GenericArrayData(" +
+        s"graft.functions.MinhashMix.mixAll($h, $n))")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object MinhashMix {
+  /** 64-bit golden ratio (SplitMix64 stream increment). */
+  val Phi: Long = 0x9E3779B97F4A7C15L
+
+  /** SplitMix64 finalizer. */
+  def mix(z0: Long): Long = {
+    var z = z0
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z ^ (z >>> 31)
+  }
+
+  /** Codegen entry point (kept as a plain static-shaped call). */
+  def mixAll(h: Long, n: Int): Array[Long] = {
+    val out = new Array[Long](n)
+    var i = 0
+    while (i < n) { out(i) = mix(h + (i + 1) * Phi); i += 1 }
+    out
+  }
+
+  def minhash_mix(c: Column, n: Int): Column = {
+    import org.apache.spark.sql.GraftColumnBridge
+    GraftColumnBridge.column(MinhashMix(GraftColumnBridge.expression(c), n))
+  }
+}

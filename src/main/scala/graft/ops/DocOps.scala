@@ -44,16 +44,24 @@ object DocOps {
   val NumHashes = 128
   val Bands = 64 // rows-per-band r=2: P(miss | J=0.5) = 0.75^64 ≈ 1e-8
 
-  /** MinHash signatures: sig[i] = min over shingles of xxhash64(i, s).
-    * One groupBy with 128 partial-aggregated mins — a single shuffle whose
-    * payload is 128 longs per doc.
+  /** MinHash signatures: sig[i] = min over shingles of hash-family i.
+    * One groupBy, one shuffle whose payload is 128 longs per doc.
+    *
+    * Round-3 constant-factor rework: each shingle string is hashed ONCE
+    * (xxhash64), and the 128 families derive from that base hash via the
+    * SplitMix64 stream ([[graft.functions.MinhashMix]], codegen'd) — the
+    * round-2 form re-hashed the full shingle bytes per family
+    * (128 × xxhash64(lit(i), s)). The per-group aggregate is ONE compact
+    * long[128] elementwise-min buffer ([[graft.functions.VectorMinL]])
+    * instead of 128 separate agg columns. Same output shape and identical
+    * downstream behavior class (universal 64-bit families); LSH ≡ brute
+    * stays spec-asserted.
     */
-  def minhashSignatures(sh: DataFrame, numHashes: Int = NumHashes): DataFrame = {
-    val mins = (0 until numHashes).map(i => min(xxhash64(lit(i), col("s"))).as(s"h$i"))
-    sh.groupBy(col("doc_id"))
-      .agg(mins.head, mins.tail: _*)
-      .select(col("doc_id"), array((0 until numHashes).map(i => col(s"h$i")): _*).as("sig"))
-  }
+  def minhashSignatures(sh: DataFrame, numHashes: Int = NumHashes): DataFrame =
+    sh.select(col("doc_id"),
+        graft.functions.MinhashMix.minhash_mix(xxhash64(col("s")), numHashes).as("hs"))
+      .groupBy(col("doc_id"))
+      .agg(graft.functions.VectorMinL.vec_lmin(col("hs")).as("sig"))
 
   /** LSH banding: (doc_id, band_idx, band_hash) with r=2 rows per band. */
   def lshBands(sig: DataFrame, bands: Int = Bands): DataFrame =

@@ -89,6 +89,29 @@ class ExpressionSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(codes.forall(cs => cs.length === 3 && cs.forall(c => c >= 0 && c < 16)))
   }
 
+  test("MinhashMix matches the SplitMix64 stream; signatures repartition-invariant") {
+    import graft.functions.MinhashMix
+    import graft.ops.DocOps
+    // expression == the reference JVM implementation, through codegen
+    val rows = spark.range(500).select(
+      org.apache.spark.sql.functions.xxhash64(col("id")).as("h"))
+    val got = rows.select(col("h"), MinhashMix.minhash_mix(col("h"), 16).as("m"))
+      .collect()
+    got.foreach { r =>
+      val h = r.getLong(0)
+      val expect = (0 until 16).map(i => MinhashMix.mix(h + (i + 1) * MinhashMix.Phi))
+      assert(r.getSeq[Long](1) === expect)
+    }
+    // VectorMinL partials merge identically on any partitioning
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val a = DocOps.minhashSignatures(DocOps.shingles(docs)).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val b = DocOps.minhashSignatures(DocOps.shingles(docs).repartition(7)).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(a === b)
+    assert(a.values.forall(_.length === DocOps.NumHashes))
+  }
+
   test("null semantics: null array -> null; short arrays use common prefix") {
     VectorExpressions.register(spark)
     val r = spark.sql(
