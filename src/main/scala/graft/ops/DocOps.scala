@@ -72,7 +72,12 @@ object DocOps {
   /** Candidate pairs: equi-join on (band_idx, band_hash); doc_a < doc_b.
     * The join key includes band_idx so different bands never cross-match.
     */
-  def lshCandidates(bandsDf: DataFrame): DataFrame = {
+  def lshCandidates(bandsDf0: DataFrame): DataFrame = {
+    // the self-join's two aliased branches would otherwise each recompute
+    // the whole signature pipeline (different output names defeat
+    // ReusedExchange); the band table is 64 small rows per doc —
+    // persisting it is proportional to DOC COUNT, not corpus bytes
+    val bandsDf = bandsDf0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val a = bandsDf.select(col("band_idx"), col("band_hash"), col("doc_id").as("doc_a"))
     val b = bandsDf.select(col("band_idx"), col("band_hash"), col("doc_id").as("doc_b"))
     a.join(b, Seq("band_idx", "band_hash"))
@@ -212,11 +217,14 @@ object DocOps {
     val chunks = maxDist + 1
     val width = SimhashBits / chunks
     val fp = simhash(docs)
+    // persisted for the same reason as lshCandidates: the a/b self-join
+    // branches would each recompute the full simhash aggregation
     val banded = fp.select(col("doc_id"), col("simhash"),
       posexplode(array((0 until chunks).map { j =>
         shiftright(col("simhash"), j * width)
           .bitwiseAND(lit((1L << width) - 1))
       }: _*)).as(Seq("chunk_idx", "chunk_val")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val a = banded.select(col("chunk_idx"), col("chunk_val"),
       col("doc_id").as("doc_a"), col("simhash").as("sh_a"))
     val b = banded.select(col("chunk_idx"), col("chunk_val"),

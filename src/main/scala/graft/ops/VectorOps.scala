@@ -100,6 +100,10 @@ object VectorOps {
       .withColumn("nrm", norm(col("e")))
     val coded = lshCodes(emb, dim, nBits, nTables)
       .select(col("vec_id"), col("table_id"), col("bucket"))
+      // reused by the candidate join AND the query-code branch — persist
+      // (nTables small rows per vector) instead of recomputing the
+      // projection scan per branch
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val qCodes = coded.where(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("table_id"), col("bucket"))
     val candidates = coded.join(broadcast(qCodes), Seq("table_id", "bucket"))
@@ -133,6 +137,8 @@ object VectorOps {
       .withColumn("nrm", norm(col("e")))
     val coded = lshCodes(emb, dim, nBits, nTables)
       .select(col("vec_id"), col("table_id"), col("bucket"))
+      // a/b self-join branches would each recompute the projections
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val a = coded.select(col("table_id"), col("bucket"), col("vec_id").as("vec_a"))
     val b = coded.select(col("table_id"), col("bucket"), col("vec_id").as("vec_b"))
     val cands = a.join(b, Seq("table_id", "bucket"))
