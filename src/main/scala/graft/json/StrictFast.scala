@@ -73,6 +73,10 @@ object StrictFast {
     } catch {
       case e if e eq BailParse => ParseFail
       case e if e eq BailShape => ShapeFail
+      // defense in depth: an UNEXPECTED exception here must degrade to a
+      // full tree-path replay, never reclassify the row as an error the
+      // tree path wouldn't produce
+      case scala.util.control.NonFatal(_) => ShapeFail
     }
 
   private final class Transcoder(s: String, scaleX: Double, scaleY: Double) {
