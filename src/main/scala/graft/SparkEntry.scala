@@ -377,8 +377,9 @@ object SparkEntry {
     }
     sb ++= assignSql("af", s"c$iters") + ", "
     sb ++= s"q AS (SELECT vec_id AS query_id, e AS qe, nrm AS qn FROM b WHERE vec_id < $nQ), "
+    // NaN→−∞ mirrors the engine's nanvl probe guard (NaN-last policy)
     sb ++= s"pb AS (SELECT query_id, qe, qn, cell FROM (SELECT q.query_id, q.qe, q.qn, c.cell, " +
-      s"row_number() OVER (PARTITION BY q.query_id ORDER BY list_dot_product(q.qe, c.ce) / (q.qn * c.cn) DESC, c.cell) AS pr " +
+      s"row_number() OVER (PARTITION BY q.query_id ORDER BY CASE WHEN isnan(list_dot_product(q.qe, c.ce) / (q.qn * c.cn)) THEN CAST('-Infinity' AS DOUBLE) ELSE list_dot_product(q.qe, c.ce) / (q.qn * c.cn) END DESC, c.cell) AS pr " +
       s"FROM q CROSS JOIN c$iters c) t WHERE pr <= $nProbe), "
     sb ++= "sc AS (SELECT pb.query_id, a.vec_id, list_dot_product(pb.qe, a.e) / (pb.qn * a.nrm) AS c " +
       "FROM af a JOIN pb ON a.cell = pb.cell WHERE a.vec_id != pb.query_id), "

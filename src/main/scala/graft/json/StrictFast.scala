@@ -123,6 +123,7 @@ object StrictFast {
       skipWs()
       if (peek != '[') bailS() // may be a valid non-list value → pyStr path
       pos += 1
+      enter() // the tree parser counts the top-level array toward MaxDepth
       skipWs()
       if (peek == ']') bailS() // valid: empty list → tree assert → repair
       sb.append('[')
@@ -141,6 +142,7 @@ object StrictFast {
           case _   => bailP() // "Expecting ',' delimiter"
         }
       }
+      exit()
       sb.append(']')
       skipWs()
       if (pos != s.length) bailP() // "Extra data"

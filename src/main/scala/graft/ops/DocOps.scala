@@ -77,7 +77,8 @@ object DocOps {
     // the whole signature pipeline (different output names defeat
     // ReusedExchange); the band table is 64 small rows per doc —
     // persisting it is proportional to DOC COUNT, not corpus bytes
-    val bandsDf = bandsDf0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bandsDf = CacheLedger.track(
+      bandsDf0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val a = bandsDf.select(col("band_idx"), col("band_hash"), col("doc_id").as("doc_a"))
     val b = bandsDf.select(col("band_idx"), col("band_hash"), col("doc_id").as("doc_b"))
     a.join(b, Seq("band_idx", "band_hash"))
@@ -124,8 +125,8 @@ object DocOps {
       .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_members"))
     val repDocs = docs.join(reps.select(col("doc_id")), Seq("doc_id"), "left_semi")
 
-    val sh = shingles(repDocs)
-      .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
+    val sh = CacheLedger.track(shingles(repDocs)
+      .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY))
     val repPairs =
       verifyJaccard(lshCandidates(lshBands(minhashSignatures(sh))), sh, tau)
 
@@ -219,12 +220,12 @@ object DocOps {
     val fp = simhash(docs)
     // persisted for the same reason as lshCandidates: the a/b self-join
     // branches would each recompute the full simhash aggregation
-    val banded = fp.select(col("doc_id"), col("simhash"),
+    val banded = CacheLedger.track(fp.select(col("doc_id"), col("simhash"),
       posexplode(array((0 until chunks).map { j =>
         shiftright(col("simhash"), j * width)
           .bitwiseAND(lit((1L << width) - 1))
       }: _*)).as(Seq("chunk_idx", "chunk_val")))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val a = banded.select(col("chunk_idx"), col("chunk_val"),
       col("doc_id").as("doc_a"), col("simhash").as("sh_a"))
     val b = banded.select(col("chunk_idx"), col("chunk_val"),

@@ -98,12 +98,12 @@ object VectorOps {
              nBits: Int = 10, nTables: Int = 8): DataFrame = {
     val base = emb.select(col("vec_id"), toDouble(col("embedding")).as("e"))
       .withColumn("nrm", norm(col("e")))
-    val coded = lshCodes(emb, dim, nBits, nTables)
+    val coded = CacheLedger.track(lshCodes(emb, dim, nBits, nTables)
       .select(col("vec_id"), col("table_id"), col("bucket"))
       // reused by the candidate join AND the query-code branch — persist
       // (nTables small rows per vector) instead of recomputing the
       // projection scan per branch
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val qCodes = coded.where(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("table_id"), col("bucket"))
     val candidates = coded.join(broadcast(qCodes), Seq("table_id", "bucket"))
@@ -135,10 +135,10 @@ object VectorOps {
                      nBits: Int = 10, nTables: Int = 8): DataFrame = {
     val base = emb.select(col("vec_id"), toDouble(col("embedding")).as("e"))
       .withColumn("nrm", norm(col("e")))
-    val coded = lshCodes(emb, dim, nBits, nTables)
+    val coded = CacheLedger.track(lshCodes(emb, dim, nBits, nTables)
       .select(col("vec_id"), col("table_id"), col("bucket"))
       // a/b self-join branches would each recompute the projections
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val a = coded.select(col("table_id"), col("bucket"), col("vec_id").as("vec_a"))
     val b = coded.select(col("table_id"), col("bucket"), col("vec_id").as("vec_b"))
     val cands = a.join(b, Seq("table_id", "bucket"))
@@ -266,19 +266,25 @@ object VectorOps {
     // projected (id, e, nrm) once, spill-to-disk beyond memory. At corpus
     // scale, set trainSampleMod so the TRAINER touches a deterministic
     // sample and only the final assignment scans everything.
-    val base = emb.select(col("vec_id"), toDouble(col("embedding")).as("e"))
-      .withColumn("nrm", norm(col("e")))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val base = CacheLedger.track(
+      emb.select(col("vec_id"), toDouble(col("embedding")).as("e"))
+        .withColumn("nrm", norm(col("e")))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val cents = trainCentroids(base, nCells, iters, trainSampleMod)
     val cLit = centroidLit(cents)
 
     val assigned = base.withColumn("cell", bestCell(col("e"), col("nrm"), cents))
 
     // per-query probe list: sort the ≤ nCells (−cosine, cell) structs,
-    // take nProbe — again a per-row projection over the centroid literal
+    // take nProbe — again a per-row projection over the centroid literal.
+    // NaN policy: a NaN cosine (zero-norm query or centroid) maps to −∞
+    // via nanvl so it ranks LAST for probing — Spark's array_sort puts NaN
+    // last ascending while DuckDB's ORDER BY DESC puts NaN first, so
+    // without the guard the two engines would pick different probe sets
+    // for degenerate vectors (the oracle applies the same CASE isnan rule)
     val probeCells = slice(array_sort(transform(cLit, c =>
-      struct((-(dot(col("qe"), c.getField("_2")) /
-        (col("qn") * c.getField("_3")))).as("nc"),
+      struct((-nanvl(dot(col("qe"), c.getField("_2")) /
+        (col("qn") * c.getField("_3")), lit(Double.NegativeInfinity))).as("nc"),
         c.getField("_1").as("cell")))), 1, nProbe)
     val probes = base.where(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("e").as("qe"), col("nrm").as("qn"))

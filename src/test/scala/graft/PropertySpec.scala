@@ -253,6 +253,36 @@ class PropertySpec extends AnyFunSuite {
     }, "fused == tree on success")
   }
 
+  test("fused strict transcoder: depth bound agrees with tree parser at 1000/1001") {
+    import graft.json.{JArr, PyJson, StrictFast}
+    import graft.pipeline.ExtractTurn
+    val origW = 1275; val origH = 1650
+    val (ih, iw) = SmartResize.smartResize(origH, origW)
+    val (ih2, iw2) = SmartResize.smartResize(ih, iw)
+    val sx = iw2.toDouble / origW; val sy = ih2.toDouble / origH
+    // containers: top-level array (1) + cell dict (2) + k nested meta arrays
+    def payload(k: Int): String =
+      "[{\"bbox\": [5, 6, 7, 8], \"category\": \"Text\", \"text\": \"x\", " +
+        "\"meta\": " + ("[" * k) + "0" + ("]" * k) + "}]"
+
+    // 2 + 998 = 1000 containers: both parsers succeed, bytes equal
+    val ok = payload(998)
+    StrictFast.transcode(ok, sx, sy) match {
+      case StrictFast.Ok(fastJson, _) =>
+        val items = PyJson.parse(ok).asInstanceOf[JArr].items
+        val rescaled = ExtractTurn.postProcessCells(items, origW, origH, iw, ih)
+        assert(PyJson.dumps(JArr(rescaled), ok.length + 64) === fastJson)
+      case other => fail(s"expected Ok at depth 1000, got $other")
+    }
+
+    // 2 + 999 = 1001 containers: tree parser raises RecursionError, fused
+    // path must classify ParseFail (not Ok) so both routes hit the repair
+    // ladder identically
+    val over = payload(999)
+    assert(StrictFast.transcode(over, sx, sy) === StrictFast.ParseFail)
+    intercept[Exception](PyJson.parse(over))
+  }
+
   test("string dedup (C5) preserves first-occurrence order") {
     check(Prop.forAll(Gen.listOfN(8, Gen.oneOf(
       """{"bbox": [1, 2, 3, 4], "category": "Text"}""",
