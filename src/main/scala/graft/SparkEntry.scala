@@ -288,6 +288,29 @@ object SparkEntry {
     // green row certifies the checkpoint/resume path produced exactly the
     // reference's row set (error_rows stays engine-side: the golden has no
     // status column; it is spec-asserted instead)
+    // Q4's loop closed end-to-end: run the checkpointed pipeline, knock a
+    // deterministic ~1/9 of rows down to the transient-error shape, then
+    // re-parse by key and overwrite in place — the final table must match
+    // the reference golden byte-for-byte (same oracle as extract_turns)
+    "extract_reparse" -> ((s, _) => {
+      import s.implicits._
+      // local-FS temp dir: driver-harness only (production path resolves
+      // through Hadoop FS inside runCheckpointed/reparseErrors)
+      val out = java.nio.file.Files.createTempDirectory("graft-reparse")
+        .toFile.getAbsolutePath
+      Extract.runCheckpointed(s, TranscriptsT2, out)
+      val n = Extract.injectTransientErrors(s, out,
+        pmod(xxhash64(col("conv_id"), col("turn_idx")), lit(9)) === 0)
+      require(n > 0L, "error injection selected no rows")
+      Extract.reparseErrors(s, TranscriptsT2, out)
+      s.read.parquet(s"$out/results").as[pipeline.TurnResult]
+        .map(r => (r.conv_id, r.turn_idx, r.input_width, r.input_height,
+          r.cells_json, r.md, r.md_nohf, r.filtered, ResultJson.spansJson(r.spans)))
+        .toDF("conv_id", "turn_idx", "input_width", "input_height",
+          "cells_json", "md", "md_nohf", "filtered", "spans_json")
+        .orderBy("conv_id", "turn_idx")
+    }),
+
     "extract_lineage" -> ((s, _) => {
       val out = java.nio.file.Files.createTempDirectory("graft-lineage")
         .toFile.getAbsolutePath
@@ -415,6 +438,11 @@ object SparkEntry {
     // same portable conv_id hash (md5-prefix % 32)
     "extract_lineage" ->
       s"""SELECT CAST(('0x' || substr(md5(conv_id), 1, 15)) AS BIGINT) % 32 AS bucket, count(*) AS rows_out, CAST(sum(CASE WHEN filtered THEN 1 ELSE 0 END) AS BIGINT) AS filtered_rows, CAST(sum(length(coalesce(md, ''))) AS BIGINT) AS md_chars, min(conv_id) AS min_conv_id, max(conv_id) AS max_conv_id FROM read_parquet('$ExpectedT2') GROUP BY 1 ORDER BY bucket""",
+
+    // reparse must restore exactly the reference state: same golden oracle
+    // as extract_turns
+    "extract_reparse" ->
+      s"""SELECT conv_id, turn_idx, input_width, input_height, cells_json, md, md_nohf, filtered, spans_json FROM read_parquet('$ExpectedT2') ORDER BY conv_id, turn_idx""",
 
     "eval_md" ->
       s"""SELECT conv_id, turn_idx, coalesce(md_nohf, md) AS eval_md FROM read_parquet('$ExpectedT2') ORDER BY conv_id, turn_idx""",

@@ -86,9 +86,23 @@ class GoldenSpec extends AnyFunSuite with BeforeAndAfterAll {
     val out = java.nio.file.Files.createTempDirectory("graft-ckpt").toFile.getAbsolutePath
     val m1 = Extract.runCheckpointed(spark, "data/transcripts_t1", out)
     assert(m1("rows").asInstanceOf[Long] === 1163L)
+    def lineageState(): Seq[(String, Long, Long)] = {
+      def files(dir: String) = {
+        val d = new java.io.File(s"$out/$dir")
+        if (!d.exists()) Seq.empty
+        else d.listFiles().toSeq.filter(_.getName.startsWith("part-"))
+          .map(f => (s"$dir/${f.getName}", f.length(), f.lastModified()))
+          .sortBy(_._1)
+      }
+      files("lineage") ++ files("lineage_buckets")
+    }
+    val afterFirst = lineageState()
     // second run: everything already processed -> zero-row increment
     val m2 = Extract.runCheckpointed(spark, "data/transcripts_t1", out)
     assert(m2("rows").asInstanceOf[Long] === 0L)
+    // incremental maintenance: a zero-row resume leaves every lineage file
+    // untouched (same names, sizes, mtimes) — no full-table recompute pass
+    assert(lineageState() === afterFirst)
     assert(spark.read.parquet(s"$out/results").count() === 1163L)
     val lineage = spark.read.parquet(s"$out/lineage")
     assert(lineage.agg(org.apache.spark.sql.functions.sum("rows_out"))
@@ -102,6 +116,76 @@ class GoldenSpec extends AnyFunSuite with BeforeAndAfterAll {
     val errTotal = spark.read.parquet(s"$out/results")
       .where(org.apache.spark.sql.functions.col("status") === "error").count()
     assert(tot.getLong(1) === errTotal)
+  }
+
+  test("error-row re-parse restores the clean state byte-for-byte (Q4 loop)") {
+    import org.apache.spark.sql.functions.{col, lit, pmod, sum => fsum, xxhash64}
+    val out = java.nio.file.Files.createTempDirectory("graft-reparse-spec")
+      .toFile.getAbsolutePath
+    Extract.runCheckpointed(spark, "data/transcripts_t1", out)
+    def snapshot() = spark.read.parquet(s"$out/results")
+      .orderBy("conv_id", "turn_idx").collect().toSeq
+    val clean = snapshot()
+    val cleanBuckets = spark.read.parquet(s"$out/lineage_buckets")
+      .orderBy("bucket").collect().toSeq
+
+    // corrupt a deterministic ~1/7 of the batch to the transient-error shape
+    val pred = pmod(xxhash64(col("conv_id"), col("turn_idx")), lit(7)) === 0
+    val nInjected = Extract.injectTransientErrors(spark, out, pred)
+    assert(nInjected > 0L)
+    val degradedErrors = spark.read.parquet(s"$out/results")
+      .where(col("status") === "error").count()
+    assert(degradedErrors >= nInjected)
+    assert(snapshot() !== clean)
+
+    // fix: re-parse every error key in place
+    val m = Extract.reparseErrors(spark, "data/transcripts_t1", out)
+    assert(m("rows").asInstanceOf[Long] === degradedErrors)
+    assert(snapshot() === clean)
+
+    // lineage reconciles: the delta-patched buckets equal both the clean
+    // run's table and an independent full recompute
+    val buckets = spark.read.parquet(s"$out/lineage_buckets")
+      .orderBy("bucket").collect().toSeq
+    assert(buckets === cleanBuckets)
+    assert(buckets === Extract.bucketLineage(spark.read.parquet(s"$out/results"))
+      .orderBy("bucket").collect().toSeq)
+    // partition lineage: the re-parse batch is its own run; totals reconcile
+    val lin = spark.read.parquet(s"$out/lineage")
+    assert(lin.where(col("run_id") === 0L).agg(fsum("rows_out"))
+      .collect()(0).getLong(0) === 1163L)
+    assert(lin.where(col("run_id") === 1L).agg(fsum("rows_out"))
+      .collect()(0).getLong(0) === degradedErrors)
+  }
+
+  test("incremental lineage merge equals a full recompute across increments") {
+    import org.apache.spark.sql.functions.col
+    val base = java.nio.file.Files.createTempDirectory("graft-ckpt-inc")
+    val splitDir = s"$base/first_half"
+    val out = s"$base/out"
+    // increment 1: a conv_id-prefix subset of t1; increment 2: the rest
+    val turns = Extract.readTranscripts(spark, "data/transcripts_t1")
+    val half = turns.toDF().where(col("conv_id") < "t1-conv-00060")
+    val halfRows = half.count()
+    assert(halfRows > 0 && halfRows < 1163)
+    half.write.parquet(splitDir)
+    val mA = Extract.runCheckpointed(spark, splitDir, out)
+    assert(mA("rows").asInstanceOf[Long] === halfRows)
+    val mB = Extract.runCheckpointed(spark, "data/transcripts_t1", out)
+    assert(mB("rows").asInstanceOf[Long] === 1163L - halfRows)
+    // the merged bucket lineage must equal the one-shot recompute over the
+    // full results table (sums add, min/max combine — merge is exact)
+    val merged = spark.read.parquet(s"$out/lineage_buckets")
+      .orderBy("bucket").collect().toSeq
+    val full = Extract.bucketLineage(spark.read.parquet(s"$out/results"))
+      .orderBy("bucket").collect().toSeq
+    assert(merged === full)
+    // partition lineage: one appended batch per run, totals reconcile
+    val lin = spark.read.parquet(s"$out/lineage")
+    assert(lin.select("run_id").distinct().collect().map(_.getLong(0)).sorted
+      === Array(0L, 1L))
+    assert(lin.agg(org.apache.spark.sql.functions.sum("rows_out"))
+      .collect()(0).getLong(0) === 1163L)
   }
 
   test("fused strict path equals the tree path on every t2 turn") {
