@@ -264,6 +264,13 @@ object SparkEntry {
     "vec_ann_ivf" -> ((s, dir) =>
       VectorOps.annIvf(s.read.parquet(s"$dir/embeddings.parquet"))),
 
+    // the corpus-scale IVF config: quantizer trained on the deterministic
+    // 1/4 seed-hash sample, wider probe — bit-exact oracle replays the
+    // sampled trainer too (VERDICT r3 #8)
+    "vec_ann_ivf_sampled" -> ((s, dir) =>
+      VectorOps.annIvf(s.read.parquet(s"$dir/embeddings.parquet"),
+        nProbe = 3, trainSampleMod = 4)),
+
     // embedding-cosine near-dup dedup (LSH-bucketed candidates, exact
     // cosine verify at τ=0.4) — the vector-space member of the dedup family
     "vec_near_dups" -> ((s, dir) =>
@@ -380,17 +387,23 @@ object SparkEntry {
     */
   private def annIvfOracleSql(dim: Int = 64, nQ: Int = 10, k: Int = 5,
                               nProbe: Int = 2, nCells: Int = 16,
-                              iters: Int = 3): String = {
+                              iters: Int = 3, trainSampleMod: Int = 1): String = {
     val sb = new StringBuilder
     sb ++= "WITH b AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e, " +
       "sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nrm FROM embeddings), "
+    // corpus-scale config: the TRAINER sees only the deterministic
+    // seed-hash sample; seeding, Lloyd assignments and means replay over
+    // `tr`, while the final assignment and the queries stay over `b`
+    val trainSrc = if (trainSampleMod > 1) "tr" else "b"
+    if (trainSampleMod > 1)
+      sb ++= s"tr AS (SELECT vec_id, e, nrm FROM b WHERE CAST(('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15)) AS BIGINT) % $trainSampleMod = 0), "
     sb ++= "seedsall AS (SELECT vec_id, e, row_number() OVER (ORDER BY " +
-      "CAST(('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15)) AS BIGINT), vec_id) - 1 AS cell FROM b), "
+      s"CAST(('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15)) AS BIGINT), vec_id) - 1 AS cell FROM $trainSrc), "
     sb ++= s"c0 AS (SELECT cell, e AS ce, sqrt(list_dot_product(e, e)) AS cn FROM seedsall WHERE cell < $nCells), "
-    def assignSql(name: String, cents: String): String =
+    def assignSql(name: String, cents: String, src: String = trainSrc): String =
       s"$name AS (SELECT vec_id, e, nrm, cell FROM (SELECT b.vec_id, b.e, b.nrm, c.cell, " +
         s"row_number() OVER (PARTITION BY b.vec_id ORDER BY list_dot_product(b.e, c.ce) / (b.nrm * c.cn) DESC, c.cell) AS pr " +
-        s"FROM b CROSS JOIN $cents c) t WHERE pr = 1)"
+        s"FROM $src b CROSS JOIN $cents c) t WHERE pr = 1)"
     (1 to iters).foreach { r =>
       sb ++= assignSql(s"a$r", s"c${r - 1}") + ", "
       sb ++= s"s$r AS (SELECT cell, pos, sum(CAST(floor(e[pos] * 1000000.0 + 0.5) AS BIGINT)) AS sv, count(*) AS n " +
@@ -398,7 +411,7 @@ object SparkEntry {
       sb ++= s"c$r AS (SELECT cell, ce, sqrt(list_dot_product(ce, ce)) AS cn FROM " +
         s"(SELECT cell, list(CAST(sv AS DOUBLE) / (CAST(n AS DOUBLE) * 1000000.0) ORDER BY pos) AS ce FROM s$r GROUP BY cell) t), "
     }
-    sb ++= assignSql("af", s"c$iters") + ", "
+    sb ++= assignSql("af", s"c$iters", "b") + ", "
     sb ++= s"q AS (SELECT vec_id AS query_id, e AS qe, nrm AS qn FROM b WHERE vec_id < $nQ), "
     // NaN→−∞ mirrors the engine's nanvl probe guard (NaN-last policy)
     sb ++= s"pb AS (SELECT query_id, qe, qn, cell FROM (SELECT q.query_id, q.qe, q.qn, c.cell, " +
@@ -418,6 +431,7 @@ object SparkEntry {
   def oracleSql: Map[String, String] = Map(
     "vec_ann_lsh" -> annLshOracleSql,
     "vec_ann_ivf" -> annIvfOracleSql(),
+    "vec_ann_ivf_sampled" -> annIvfOracleSql(nProbe = 3, trainSampleMod = 4),
     "vec_near_dups" -> cosineNearDupsOracleSql,
     "extract_turns" ->
       s"""SELECT conv_id, turn_idx, input_width, input_height, cells_json, md, md_nohf, filtered, spans_json FROM read_parquet('$ExpectedT2') ORDER BY conv_id, turn_idx""",

@@ -349,21 +349,25 @@ object DocOps {
     * the round-2 single-pass star approximation — a chain A~B, B~C without
     * an A~C edge now assigns keeper=A to all three).
     *
-    * Algorithm: min-label propagation with pointer jumping (the
-    * Hash-to-Min family; cf. large-star/small-star). Each round:
-    *   1. label(v) ← min(label(v), min over neighbors' labels)  — one
-    *      shuffle keyed on doc_id, partial-aggregated map-side;
-    *   2. label(v) ← label(label(v))  — pointer jump, one self-join, which
-    *      collapses chains in O(log diameter) rounds instead of O(diameter).
-    * Labels are doc_ids and only ever DECREASE, so sum(label) is a strict
-    * convergence metric: one cheap driver-side aggregate per round, no
-    * row-diff job. Iterations are bounded; the edge set (output of the
-    * bucketed LSH near-dup pass) is persisted once and is tiny relative to
-    * the corpus — the per-round cost is two label-table shuffles of N rows
-    * carrying (id, label) only, never text.
+    * Algorithm: alternating large-star/small-star over the edge set (see
+    * [[componentLabels]]; Kiveris et al., SoCC'14) — ~log₂(diameter)
+    * rounds even on adversarial high-diameter graphs, where round 3's
+    * propagate+pointer-jump stagnated to Θ(diameter). The edge set (output
+    * of the bucketed LSH near-dup pass) is tiny relative to the corpus:
+    * per-round cost is two groupBy-min + join passes over (id, id) rows
+    * only, never text.
     */
-  def dedupKeepers(docs: DataFrame, tau: Double = 0.5, maxIters: Int = 25): DataFrame = {
-    val spark = docs.sparkSession
+  def dedupKeepers(docs: DataFrame, tau: Double = 0.5, maxIters: Int = 25): DataFrame =
+    keepersFromEdges(docs,
+      nearDups(docs, tau).select(col("doc_a"), col("doc_b")), maxIters)
+
+  /** [[dedupKeepers]] with an explicit edge set — the same CC fixpoint over
+    * any near-dup relation (MinHash, SimHash, embedding-cosine), and the
+    * entry point the adversarial-scale spec drives with a synthetic
+    * high-diameter graph.
+    */
+  def keepersFromEdges(docs: DataFrame, edges0: DataFrame,
+                       maxIters: Int = 25): DataFrame = {
     // localCheckpoint (EAGER) instead of persist throughout the loop: each
     // round's plan references the previous round's dataframe TWICE (labels
     // join nbrMin-of-labels, then the pointer-jump self-join), so without
@@ -372,47 +376,11 @@ object DocOps {
     // exponentially (measured: 35 s of pure driver planning at sf0.1).
     // Checkpointed rounds keep the plan constant-size; the data is
     // materialized eagerly, which the convergence check needs anyway.
-    val edges = nearDups(docs, tau).select(col("doc_a"), col("doc_b"))
-      .localCheckpoint(true)
+    val edges = edges0.select(col("doc_a"), col("doc_b")).localCheckpoint(true)
     // undirected adjacency: propagate labels both ways
     val adj = edges.union(
       edges.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
-
-    // the fixpoint iterates ONLY over edge-touched nodes — O(|E|) per
-    // round, not O(N): at corpus scale near-dups are a small fraction of
-    // documents, and the isolated majority trivially keeps keeper=self
-    // (joined back once at the end)
-    var labels = adj.select(col("doc_a").as("doc_id")).distinct()
-      .withColumn("label", col("doc_id")).localCheckpoint(true)
-    // sum over decimal(38): exact and overflow-free at any corpus size
-    def labelSum(df: DataFrame): java.math.BigDecimal = {
-      val d = df.agg(sum(col("label").cast("decimal(38,0)"))).collect()(0)
-        .getDecimal(0)
-      if (d == null) java.math.BigDecimal.ZERO else d // edge-free corpus
-    }
-    var prevSum = labelSum(labels)
-    var it = 0
-    var converged = false
-    while (!converged && it < maxIters) {
-      val nbrMin = adj.join(labels, adj("doc_b") === labels("doc_id"))
-        .groupBy(adj("doc_a").as("doc_id"))
-        .agg(min(col("label")).as("nbr_min"))
-      val propagated = labels.join(nbrMin, Seq("doc_id"), "left")
-        .select(col("doc_id"),
-          least(col("label"), coalesce(col("nbr_min"), col("label"))).as("label"))
-      // pointer jump: label ← label(label); every label IS a doc_id, so the
-      // self-join always matches
-      val next = propagated.as("a")
-        .join(propagated.select(col("doc_id").as("label"),
-          col("label").as("label2")).as("b"), Seq("label"))
-        .select(col("doc_id"), col("label2").as("label"))
-        .localCheckpoint(true)
-      val s = labelSum(next)
-      converged = s.compareTo(prevSum) == 0
-      prevSum = s
-      labels = next
-      it += 1
-    }
+    val (labels, _) = componentLabels(adj, maxIters)
     // the final label table is checkpointed (already materialized by its
     // labelSum pass); isolated docs — the corpus majority — join back with
     // keeper=self in one broadcast-able pass
@@ -420,5 +388,86 @@ object DocOps {
       .join(labels, Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("label"), col("doc_id")).as("keeper_doc_id"))
+  }
+
+  /** Connected-component labels over an undirected adjacency table (both
+    * edge directions present) via ALTERNATING LARGE-STAR / SMALL-STAR — the
+    * canonical MapReduce CC algorithm (Kiveris et al., "Connected
+    * Components in MapReduce and Beyond", SoCC'14). Each round rewires the
+    * edge set toward per-component stars centered on the component minimum:
+    *
+    *   large-star(u): every neighbor v > u reconnects to
+    *                  m(u) = min(Γ(u) ∪ {u});
+    *   small-star(u): every smaller neighbor (and u itself) reconnects to
+    *                  min(Γ⁻(u)).
+    *
+    * Converges in O(log² n) rounds worst-case, ~log₂(diameter) in practice
+    * (the high-diameter spec asserts this on a 10k path with adversarially
+    * permuted ids — the round-3 propagate+pointer-jump formulation
+    * stagnated to Θ(diameter) there, because a region minimum only extends
+    * its reach O(1) hops per round once label chains stop composing).
+    * Returns the (doc_id, label) table and the number of rounds.
+    *
+    * Two structural rules for ANY Spark fixpoint loop, both load-bearing:
+    *  - eager checkpoint per round, or the logical plan doubles per round
+    *    (plan analysis explodes exponentially — NOTES #12);
+    *  - checkpoint with STATS truncation ([[GraftColumnBridge
+    *    .localCheckpointStatsFresh]]): localCheckpoint keeps the
+    *    pre-checkpoint plan's stats, whose sizeInBytes MULTIPLIES through
+    *    each round's joins — the estimate's bit-length doubles per round
+    *    and Catalyst ends up Karatsuba-multiplying million-bit BigIntegers
+    *    (measured: 0.3 s → 80 s per round by round 23).
+    */
+  private[graft] def componentLabels(adj: DataFrame,
+                                     maxIters: Int): (DataFrame, Int) = {
+    import org.apache.spark.sql.GraftColumnBridge.localCheckpointStatsFresh
+    // the fixpoint iterates ONLY over edge-touched nodes — O(|E|) per
+    // round, not O(N): at corpus scale near-dups are a small fraction of
+    // documents, and the isolated majority trivially keeps keeper=self
+    // (joined back once by the caller)
+    val nodes = adj.select(col("doc_a").as("doc_id")).distinct()
+    // canonical undirected edge set: (hi, lo) with hi > lo, no self loops
+    var e = localCheckpointStatsFresh(
+      adj.where(col("doc_a") > col("doc_b"))
+        .select(col("doc_a").as("hi"), col("doc_b").as("lo")).distinct())
+    var it = 0
+    var converged = e.limit(1).count() == 0L // edge-free corpus
+    while (!converged && it < maxIters) {
+      // ---- large-star ----
+      val a = e.select(col("hi").as("u"), col("lo").as("v"))
+        .union(e.select(col("lo").as("u"), col("hi").as("v")))
+      val m = a.groupBy(col("u")).agg(min(col("v")).as("mv"))
+        .select(col("u"), least(col("mv"), col("u")).as("m"))
+      val eL = localCheckpointStatsFresh(
+        a.join(m, "u").where(col("v") > col("u"))
+          .select(col("v").as("hi"), col("m").as("lo"))
+          .where(col("hi") > col("lo")).distinct())
+      // ---- small-star ----
+      val aMinus = eL.select(col("hi").as("u"), col("lo").as("v"))
+      val m2 = aMinus.groupBy(col("u")).agg(min(col("v")).as("m"))
+      val eNew = localCheckpointStatsFresh(
+        aMinus.join(m2, "u").where(col("v") =!= col("m"))
+          .select(col("v").as("hi"), col("m").as("lo"))
+          .union(m2.select(col("u").as("hi"), col("m").as("lo")))
+          .where(col("hi") > col("lo")).distinct())
+      // converged when a full (large; small) pass is the identity — true
+      // exactly at the star fixpoint; exceptAll on the two checkpointed
+      // leaf tables, label-scale rows only
+      converged = eNew.count() == e.count() &&
+        eNew.exceptAll(e).limit(1).count() == 0L
+      // dropped round tables (e, eL) aren't unpersisted here: their blocks
+      // belong to localCheckpoint RDDs (explicit unpersist would destroy
+      // truncated lineage); ContextCleaner frees them once unreferenced
+      e = eNew
+      it += 1
+    }
+    // star set → labels: every non-center appears as hi with its center as
+    // lo (min(lo) guards the maxIters-cutoff case); centers label themselves
+    val starOf = e.groupBy(col("hi").as("doc_id")).agg(min(col("lo")).as("label"))
+    val labels = localCheckpointStatsFresh(
+      nodes.join(starOf, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("label"), col("doc_id")).as("label")))
+    (labels, it)
   }
 }

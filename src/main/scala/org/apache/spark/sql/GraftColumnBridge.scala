@@ -10,4 +10,32 @@ import org.apache.spark.sql.catalyst.expressions.Expression
 object GraftColumnBridge {
   def column(e: Expression): Column = classic.ExpressionUtils.column(e)
   def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+
+  /** Eager localCheckpoint that ALSO truncates statistics.
+    *
+    * `Dataset.localCheckpoint` truncates the logical plan to a `LogicalRDD`
+    * leaf but carries the checkpointed plan's stats along as
+    * `originalStats`. In an iterative fixpoint (connected components,
+    * label propagation) each round's joins MULTIPLY the leaf's
+    * `sizeInBytes`, so the estimate's bit-length doubles every round —
+    * after ~20 rounds Catalyst's size arithmetic is Karatsuba-multiplying
+    * million-bit BigIntegers and a sub-second round takes minutes
+    * (measured: 0.3 s → 80 s by round 23 on a 500-node path graph). This
+    * helper rebuilds the leaf without `originalStats`, so every round
+    * re-plans from the neutral default estimate. Only the stats metadata
+    * is dropped; the checkpointed RDD, partitioning and ordering are
+    * reused as-is.
+    */
+  def localCheckpointStatsFresh(df: Dataset[Row]): Dataset[Row] = {
+    val ck = df.localCheckpoint(true)
+    ck.queryExecution.analyzed match {
+      case lr: execution.LogicalRDD =>
+        val session = ck.sparkSession.asInstanceOf[classic.SparkSession]
+        val clean = execution.LogicalRDD(lr.output, lr.rdd,
+          lr.outputPartitioning, lr.outputOrdering, lr.isStreaming,
+          lr.stream)(session, None, None)
+        classic.Dataset.ofRows(session, clean)
+      case _ => ck // unexpected shape: fall back to the plain checkpoint
+    }
+  }
 }

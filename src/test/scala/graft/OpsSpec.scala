@@ -91,6 +91,43 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       .map(r => r.getLong(0) -> r.getLong(1)).toMap === Map(7L -> 7L, 8L -> 8L))
   }
 
+  test("keepers CC fixpoint: 10k-node path converges in O(log diameter) rounds, constant plan") {
+    val s = spark
+    import s.implicits._
+    // adversarial shape for label propagation: ONE component of diameter
+    // 9999 (a path), with doc ids decorrelated from path order (14-bit
+    // bit-reversal permutation — unique by construction) so min-labels
+    // can't ride the path monotonically
+    val n = 10000
+    def bitrev14(i: Int): Long = {
+      var v = 0L
+      for (b <- 0 until 14) if ((i & (1 << b)) != 0) v |= 1L << (13 - b)
+      v
+    }
+    val ids = (0 until n).map(bitrev14)
+    assert(ids.distinct.size === n)
+    val minId = ids.min
+    val edges = (0 until n - 1).map(i => (ids(i), ids(i + 1)))
+      .toDF("doc_a", "doc_b").localCheckpoint(true)
+    val adj = edges.union(edges.select($"doc_b".as("doc_a"), $"doc_a".as("doc_b")))
+    val (labels, rounds) = DocOps.componentLabels(adj, maxIters = 30)
+    val got = labels.collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.length === n)
+    assert(got.forall(_._2 === minId),
+      s"${got.count(_._2 !== minId)} nodes not labeled $minId after $rounds rounds")
+    // pointer jumping: reach ~doubles per round → ~log2(diameter) rounds
+    // (+1 propagation tail, +1 to observe the unchanged sum), NEVER
+    // O(diameter) — a plain propagate-only loop would need ~9999 rounds
+    val bound = math.ceil(math.log(n.toDouble) / math.log(2)).toInt + 4
+    assert(rounds <= bound, s"took $rounds rounds, bound $bound")
+    assert(rounds >= 5) // sanity: genuinely iterative on this graph
+    // constant plan size: every round is localCheckpoint-truncated, so the
+    // final label table's plan is a leaf, not 2^rounds nested joins
+    assert(labels.queryExecution.logical.collectLeaves().size === 1)
+    assert(labels.queryExecution.logical.collect { case p => p }.size <= 3,
+      labels.queryExecution.logical.numberedTreeString)
+  }
+
   test("SimHash: near-dup pairs have small hamming distance; identical text -> 0") {
     val fps = DocOps.simhash(docs).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toMap
