@@ -115,6 +115,39 @@ object Profile {
     abRows("AB_fused_subset", fusedRows, 6)
     abRows("AB_full_corpus", rows, 6)
 
+    // interleaved A/B of the fused repair ladder (StrictRepair) over the
+    // trailing-comma class and the full corpus
+    val trailRows = rows.filter { t =>
+      val (oh, ow) = graft.pipeline.PageGeom.of(t.conv_id, t.turn_idx)
+      val (ih, iw) = graft.geom.SmartResize.smartResize(oh, ow)
+      val (ih2, iw2) = graft.geom.SmartResize.smartResize(ih, iw)
+      graft.pipeline.ExtractTurn.LayoutModes.contains(t.tool) &&
+        (graft.json.StrictFast.transcode(t.text,
+          iw2.toDouble / ow, ih2.toDouble / oh) eq graft.json.StrictFast.ParseFailTrail)
+    }
+    def abRepair(name: String, rs: Array[Turn], rounds: Int): Unit = {
+      val tid = Thread.currentThread().getId
+      var i = 0
+      while (i < 2) { rs.foreach(ExtractTurn.apply); i += 1 } // warmup
+      var bestA = Double.MaxValue; var bestB = Double.MaxValue
+      var allocA = Double.MaxValue; var allocB = Double.MaxValue
+      for (_ <- 0 until rounds; fused <- Seq(true, false)) {
+        graft.pipeline.ExtractTurn.strictRepairEnabled = fused
+        val a0 = tmx.fold(0L)(_.getThreadAllocatedBytes(tid))
+        val t0 = System.nanoTime()
+        rs.foreach(ExtractTurn.apply)
+        val per = (System.nanoTime() - t0).toDouble / rs.length
+        val al = tmx.fold(0.0)(t =>
+          (t.getThreadAllocatedBytes(tid) - a0).toDouble / rs.length)
+        if (fused) { bestA = math.min(bestA, per); allocA = math.min(allocA, al) }
+        else { bestB = math.min(bestB, per); allocB = math.min(allocB, al) }
+      }
+      graft.pipeline.ExtractTurn.strictRepairEnabled = true
+      println(f"MICRO $name n=${rs.length} fused ${bestA / 1000}%.2f us/row ${allocA}%.0f B  ladder ${bestB / 1000}%.2f us/row ${allocB}%.0f B  speedup ${bestB / bestA}%.2fx")
+    }
+    abRepair("AB_repair_trail_class", trailRows, 6)
+    abRepair("AB_repair_full_corpus", rows, 4)
+
     // big-repair-row ladder stage breakdown (the >10KB tail is ~30% of
     // corpus time; find where it goes before optimizing anything)
     {

@@ -319,6 +319,9 @@ object SparkEntry {
     }),
 
     "extract_lineage" -> ((s, _) => {
+      // local-FS temp dir: driver-harness only — the production path
+      // (runCheckpointed) resolves outDir through Hadoop FS and works on
+      // HDFS/S3; this java.nio call is just scratch space for the oracle
       val out = java.nio.file.Files.createTempDirectory("graft-lineage")
         .toFile.getAbsolutePath
       Extract.runCheckpointed(s, TranscriptsT2, out)

@@ -125,16 +125,32 @@ object OutputCleaner {
         case Right(list) => cleanListData(list)
         case Left(str)   => cleanStringData(str)
       }
-      if (ops0.success && data.nonEmpty) {
-        val (deduped, removed) = removeDuplicateCategoryTextPairsAndBbox(data)
-        CleanResult(Right(deduped), ops0.copy(pairDedupRemoved = removed))
-      } else CleanResult(Right(data), ops0)
+      finishClean(input, data, ops0)
     } catch {
       case _: Exception =>
         // output_cleaner.py:433-435 — return model_output unchanged
         CleanResult(input.left.map(identity), CleanOps.none.copy(success = false))
     }
   }
+
+  /** The C9 tail of [[cleanModelOutput]] (pair/bbox dedup + the outer
+    * TypeError catch), shared with the fused repair path
+    * ([[StrictRepair]]), which computes (data, ops) without the ladder's
+    * rescans and must then behave EXACTLY like the remainder of
+    * clean_model_output.
+    */
+  private[clean] def finishClean(input: Either[String, Vector[JValue]],
+                                 data: Vector[JValue],
+                                 ops0: CleanOps): CleanResult =
+    try {
+      if (ops0.success && data.nonEmpty) {
+        val (deduped, removed) = removeDuplicateCategoryTextPairsAndBbox(data)
+        CleanResult(Right(deduped), ops0.copy(pairDedupRemoved = removed))
+      } else CleanResult(Right(data), ops0)
+    } catch {
+      case _: Exception =>
+        CleanResult(input.left.map(identity), CleanOps.none.copy(success = false))
+    }
 
   /** output_cleaner.py:43-107 — triage of an already-parsed list. */
   def cleanListData(data: Vector[JValue]): (Vector[JValue], CleanOps) = {

@@ -55,34 +55,86 @@ object StrictFast {
   case object ParseFail extends Result
   case object ShapeFail extends Result
 
+  /** [[ParseFail]] with the trailing-comma signature: every top-level cell
+    * transcoded strictly, then the cell position held `]` (i.e. the payload
+    * ends `..., ]`-style — the >50k truncation class). Same guarantee as
+    * ParseFail (the tree parse throws here too: `]` cannot start a value);
+    * the extra tag lets the caller try [[graft.clean.StrictRepair]], which
+    * re-transcodes in capture mode for the fused repair-ladder path.
+    */
+  case object ParseFailTrail extends Result
+
+  /** Capture-mode variant of [[ParseFailTrail]]: the per-cell state the
+    * fused repair path needs. `bracketPos` is the index of the `]` the cell
+    * parser saw.
+    */
+  final case class ParseFailTrailCaptured(cells: Vector[RepairCell],
+                                          bracketPos: Int) extends Result
+
+  /** Raw-source capture of one strictly-transcoded cell, for the fused
+    * repair path: span in the source text, the ORIGINAL (pre-rescale) bbox
+    * values as JValues (what the tree parse would produce), and whether the
+    * `text` key was present (LeanCell can't distinguish absent from "").
+    */
+  final case class RepairCell(rawStart: Int, rawEnd: Int, category: String,
+                              text: String, hasText: Boolean,
+                              bbox: Vector[JValue], bboxExtra: Boolean)
+
   /** Stackless control-flow signals. */
   private final class Bail extends RuntimeException {
     override def fillInStackTrace(): Throwable = this
   }
   private val BailParse = new Bail
   private val BailShape = new Bail
+  private val BailParseTrail = new Bail
 
   private val MaxDepth = 1000
 
   /** Attempt the fused path. */
   def transcode(text: String, scaleX: Double, scaleY: Double): Result =
+    run(text, scaleX, scaleY, capture = false)
+
+  /** The fused path with per-cell raw capture (for [[graft.clean
+    * .StrictRepair]]): same grammar and bail sites, slightly more
+    * allocation — only invoked on rows already tagged [[ParseFailTrail]].
+    */
+  def transcodeCapture(text: String, scaleX: Double, scaleY: Double): Result =
+    run(text, scaleX, scaleY, capture = true)
+
+  private def run(text: String, scaleX: Double, scaleY: Double,
+                  capture: Boolean): Result = {
+    val t = new Transcoder(text, scaleX, scaleY, capture)
     try {
-      val t = new Transcoder(text, scaleX, scaleY)
       val (json, cells) = t.run()
       Ok(json, cells)
     } catch {
       case e if e eq BailParse => ParseFail
+      case e if e eq BailParseTrail =>
+        if (capture) ParseFailTrailCaptured(t.capturedCells, t.trailBracketPos)
+        else ParseFailTrail
       case e if e eq BailShape => ShapeFail
       // defense in depth: an UNEXPECTED exception here must degrade to a
       // full tree-path replay, never reclassify the row as an error the
       // tree path wouldn't produce
       case scala.util.control.NonFatal(_) => ShapeFail
     }
+  }
 
-  private final class Transcoder(s: String, scaleX: Double, scaleY: Double) {
+  private final class Transcoder(s: String, scaleX: Double, scaleY: Double,
+                                 capture: Boolean = false) {
     private var pos = 0
     private var depth = 0
     private val sb = new java.lang.StringBuilder(s.length + 64)
+
+    // capture-mode state (allocated only when capture=true)
+    private val cellCapture =
+      if (capture) Vector.newBuilder[RepairCell] else null
+    private[StrictFast] var trailBracketPos = -1
+    private[StrictFast] def capturedCells: Vector[RepairCell] =
+      if (cellCapture == null) Vector.empty else cellCapture.result()
+    // last number scanned by numberAsDouble (for original-bbox capture)
+    private var lastNumWasInt = false
+    private var lastNumLong = 0L
 
     /** Grammar violation — PyJson.parse provably throws here too. Every
       * bailP site corresponds to a failure site of the tree parser on the
@@ -160,8 +212,15 @@ object StrictFast {
         // "...},]" — this turns its 58KB rows into ParseFail, skipping the
         // redundant tree re-parse)
         if (canStartValue(peek)) bailS() // valid non-dict cell → KeyError → repair
-        else bailP() // "Expecting value"
+        else if (peek == ']' && pos < s.length) {
+          // the trailing-comma signature: all prior cells strict, then `]`
+          // where a value must start — tag it so StrictRepair can fuse the
+          // repair ladder for this class (same ParseFail guarantee)
+          trailBracketPos = pos
+          throw BailParseTrail
+        } else bailP() // "Expecting value"
       }
+      val rawStart = pos
       enter()
       pos += 1
       skipWs()
@@ -169,8 +228,11 @@ object StrictFast {
       sb.append('{')
       var category: String = null
       var cellText: String = ""
+      var hasText = false
       var hasBbox = false
+      var bboxExtra = false
       var x1 = 0; var y1 = 0; var x2 = 0; var y2 = 0
+      val bboxCap = if (capture) Vector.newBuilder[JValue] else null
       val seen = new scala.collection.mutable.ArrayBuffer[String](4)
       var first = true
       var done = false
@@ -193,8 +255,9 @@ object StrictFast {
         k match {
           case "bbox" =>
             hasBbox = true
-            val b = bboxValue()
+            val b = bboxValue(bboxCap)
             x1 = b(0); y1 = b(1); x2 = b(2); y2 = b(3)
+            bboxExtra = lastBboxHadExtras
           case "category" =>
             if (peek != '"') {
               if (canStartValue(peek)) bailS() // non-string category → error row
@@ -209,6 +272,7 @@ object StrictFast {
             }
             val vStart = pos
             cellText = string(emit = false)
+            hasText = true
             emitCapturedString(vStart, cellText)
           case _ =>
             value(emit = true)
@@ -223,13 +287,21 @@ object StrictFast {
       exit()
       sb.append('}')
       if (!hasBbox || category == null) bailS()
+      if (capture)
+        cellCapture += RepairCell(rawStart, pos, category, cellText, hasText,
+          bboxCap.result(), bboxExtra)
       LeanCell(category, cellText, x1, y1, x2, y2)
     }
 
     /** bbox: a JSON array of ≥4 plain finite numbers (extras validated and
-      * dropped, like items(0..3) indexing); emits the rescaled ints.
+      * dropped, like items(0..3) indexing); emits the rescaled ints. In
+      * capture mode the ORIGINAL first-4 values are appended to `cap` as
+      * the JValues the tree parse would produce.
       */
-    private def bboxValue(): Array[Int] = {
+    private var lastBboxHadExtras = false
+
+    private def bboxValue(cap: scala.collection.mutable.ReusableBuilder[JValue, Vector[JValue]]): Array[Int] = {
+      lastBboxHadExtras = false
       if (peek != '[') {
         if (canStartValue(peek)) bailS() // valid non-array bbox (string, …)
         else bailP() // "Expecting value"
@@ -245,9 +317,12 @@ object StrictFast {
         skipWs()
         if (i < 4) {
           val d = numberAsDouble()
+          if (cap != null)
+            cap += (if (lastNumWasInt) JInt(lastNumLong) else JNum(d))
           val scale = if (i % 2 == 0) scaleX else scaleY
           out(i) = SmartResize.scaleCoord(d, scale)
         } else {
+          lastBboxHadExtras = true
           value(emit = false) // validated, dropped (tree path reads [0..3])
         }
         i += 1
@@ -281,10 +356,13 @@ object StrictFast {
       if (isFloat) {
         val d = java.lang.Double.parseDouble(s.substring(start, pos))
         if (java.lang.Double.isInfinite(d)) bailS() // valid JSON, odd value
+        lastNumWasInt = false
         d
       } else {
         if (pos - start > 18) bailS()
-        parseLongInPlace(start, pos).toDouble
+        lastNumWasInt = true
+        lastNumLong = parseLongInPlace(start, pos)
+        lastNumLong.toDouble
       }
     }
 

@@ -118,6 +118,13 @@ object ExtractTurn {
   @volatile private[graft] var strictFastEnabled: Boolean =
     !sys.props.get("graft.strictfast").contains("off")
 
+  /** Kill switch for the fused repair-ladder path
+    * (-Dgraft.strictrepair=off): falls back to the real ladder for the
+    * trailing-comma class.
+    */
+  @volatile private[graft] var strictRepairEnabled: Boolean =
+    !sys.props.get("graft.strictrepair").contains("off")
+
   /** Python float(x) for the values a bbox coordinate can hold. */
   private def pyFloat(v: JValue): Double = v match {
     case JInt(i)  => i.toDouble
@@ -230,7 +237,13 @@ object ExtractTurn {
         import graft.json.StrictFast
         val fast: StrictFast.Result = if (strictFastEnabled) {
           val (ih2, iw2) = SmartResize.smartResize(ih, iw)
-          StrictFast.transcode(
+          // big payloads transcode in capture mode up front: strict ones are
+          // rare at this size, and a trailing-comma bail then feeds
+          // StrictRepair without a second 50KB+ scan
+          if (t.text.length > 10000 && strictRepairEnabled)
+            StrictFast.transcodeCapture(
+              t.text, iw2.toDouble / origW, ih2.toDouble / origH)
+          else StrictFast.transcode(
             t.text, iw2.toDouble / origW, ih2.toDouble / origH)
         } else StrictFast.ShapeFail
         fast match {
@@ -253,10 +266,12 @@ object ExtractTurn {
 
         var parsed: Option[JValue] = None
         val strictResult: Option[Vector[JValue]] =
-          // ParseFail is the transcoder's GUARANTEE that PyJson.parse throws
-          // on this text (same grammar, spec-asserted) — skip the redundant
-          // tree parse so repair rows pay only ONE scan before the ladder
-          if (fast eq StrictFast.ParseFail) None
+          // ParseFail (and its trailing-comma-tagged variants) is the
+          // transcoder's GUARANTEE that PyJson.parse throws on this text
+          // (same grammar, spec-asserted) — skip the redundant tree parse
+          // so repair rows pay only ONE scan before the ladder
+          if ((fast eq StrictFast.ParseFail) || (fast eq StrictFast.ParseFailTrail) ||
+            fast.isInstanceOf[StrictFast.ParseFailTrailCaptured]) None
           else try {
             val v = PyJson.parse(t.text)
             parsed = Some(v)
@@ -293,7 +308,19 @@ object ExtractTurn {
               case Some(other)    => Left(pyStr(other))
               case None           => Left(t.text)
             }
-            val res = OutputCleaner.cleanModelOutput(cleanerInput)
+            // fused repair for the trailing-comma class: the captured (or
+            // one re-captured) scan replaces the ladder's raw-text rescans;
+            // None (any class precondition unmet) replays the real ladder —
+            // always safe
+            val res = (fast match {
+              case c: StrictFast.ParseFailTrailCaptured if strictRepairEnabled =>
+                graft.clean.StrictRepair.fromCaptured(t.text, c)
+              case f if (f eq StrictFast.ParseFailTrail) && strictRepairEnabled =>
+                val (ih2, iw2) = SmartResize.smartResize(ih, iw)
+                graft.clean.StrictRepair.attempt(
+                  t.text, iw2.toDouble / origW, ih2.toDouble / origH)
+              case _ => None
+            }).getOrElse(OutputCleaner.cleanModelOutput(cleanerInput))
             val joined: String = res.cleaned match {
               case Right(list) =>
                 list.collect {

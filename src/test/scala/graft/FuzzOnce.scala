@@ -53,7 +53,7 @@ object FuzzOnce {
       val body = fields.mkString("{", ", ", "}")
       if (rnd.nextInt(12) == 0) body.dropRight(1 + rnd.nextInt(3)) else body
     }
-    var ok = 0; var pf = 0; var sf = 0; var bad = 0
+    var ok = 0; var pf = 0; var sf = 0; var bad = 0; var trail = 0
     (0 until n).foreach { i =>
       val cells = (0 until rnd.nextInt(5)).map(_ => cell())
       val trailing = if (rnd.nextInt(5) == 0) "," else ""
@@ -67,6 +67,23 @@ object FuzzOnce {
           try { PyJson.parse(payload); bad += 1
             println(s"PARSEFAIL-BUT-PARSES: $payload") }
           catch { case _: Exception => () }
+        case StrictFast.ParseFailTrail =>
+          pf += 1; trail += 1
+          try { PyJson.parse(payload); bad += 1
+            println(s"TRAIL-BUT-PARSES: $payload") }
+          catch { case _: Exception => () }
+          // full repair-path equality: fused ladder == real ladder
+          val turn = graft.pipeline.Turn("fuzz-conv", 1, "assistant", payload,
+            "prompt_layout_all_en")
+          graft.pipeline.ExtractTurn.strictRepairEnabled = true
+          val a = graft.pipeline.ExtractTurn.apply(turn)
+          graft.pipeline.ExtractTurn.strictRepairEnabled = false
+          val b = graft.pipeline.ExtractTurn.apply(turn)
+          graft.pipeline.ExtractTurn.strictRepairEnabled = true
+          if (a != b) { bad += 1
+            println(s"REPAIR-MISMATCH:\n  in : $payload\n  fused: $a\n  ladder: $b") }
+        case StrictFast.ParseFailTrailCaptured(_, _) =>
+          bad += 1; println(s"CAPTURED-FROM-PLAIN-TRANSCODE: $payload")
         case StrictFast.Ok(json, lean) =>
           ok += 1
           val items = PyJson.parse(payload).asInstanceOf[JArr].items
@@ -78,7 +95,46 @@ object FuzzOnce {
             println(s"LEANLEN: $payload") }
       }
     }
-    println(s"FUZZ n=$n ok=$ok parsefail=$pf shapefail=$sf BAD=$bad")
+    // second sweep: biased INTO the trailing-comma class (strict-ish cells
+    // + trailing comma) so StrictRepair itself gets adversarial density —
+    // the generic generator above lands there only ~0.03% of the time
+    val strTexts = Array("\"a\"", "\"\"", "\"x{y\"", "\"} {\"", "\"}{\"",
+      "\"has \\\"bbox\\\": inside\"", "\"bbox\"", "\"a}b\"", "\"l\\nb\"",
+      "\"cat\"", "\"{\\\"bbox\\\":\"", "\"日本語\"")
+    val coordPool = Array("1", "2.5", "-3", "100", "0", "1e2")
+    val metaPool = Array("[1]", "7", "\"v\"", "{\"k\": 1}")
+    def strictCell(): String = {
+      val c = (0 until 4).map(_ => coordPool(rnd.nextInt(coordPool.length)))
+      val extra = if (rnd.nextInt(8) == 0) ", 9" else ""
+      val bbox = s""""bbox":${ws()}[${c.mkString(", ")}$extra]"""
+      val cat = s""""category": "Text""""
+      val txt = if (rnd.nextInt(5) == 0) "" else s""", "text": ${strTexts(rnd.nextInt(strTexts.length))}"""
+      val meta = if (rnd.nextInt(6) == 0) s""", "m": ${metaPool(rnd.nextInt(metaPool.length))}""" else ""
+      if (rnd.nextInt(2) == 0) s"{$bbox, $cat$txt$meta}" else s"{$cat, $bbox$txt$meta}"
+    }
+    var trail2 = 0
+    (0 until n / 2).foreach { _ =>
+      val k = 1 + rnd.nextInt(5)
+      val cells0 = (0 until k).map(_ => strictCell())
+      val cells = if (rnd.nextInt(4) == 0) cells0 :+ cells0(rnd.nextInt(k)) else cells0
+      val trailerPool = Array(",", ", ", " ,", ",\n")
+      val sepPool = Array(",", ",\n", " , ")
+      val trailer = trailerPool(rnd.nextInt(trailerPool.length))
+      val payload = s"[${cells.mkString(sepPool(rnd.nextInt(sepPool.length)))}$trailer]${ws()}"
+      if (StrictFast.transcode(payload, sx, sy) == StrictFast.ParseFailTrail) {
+        trail2 += 1
+        val turn = graft.pipeline.Turn("fuzz2-conv", 1, "assistant", payload,
+          "prompt_layout_all_en")
+        graft.pipeline.ExtractTurn.strictRepairEnabled = true
+        val a = graft.pipeline.ExtractTurn.apply(turn)
+        graft.pipeline.ExtractTurn.strictRepairEnabled = false
+        val b = graft.pipeline.ExtractTurn.apply(turn)
+        graft.pipeline.ExtractTurn.strictRepairEnabled = true
+        if (a != b) { bad += 1
+          println(s"REPAIR-MISMATCH-2:\n  in : $payload\n  fused: $a\n  ladder: $b") }
+      }
+    }
+    println(s"FUZZ n=$n ok=$ok parsefail=$pf (trail=$trail) shapefail=$sf trail2=$trail2 BAD=$bad")
     if (bad > 0) sys.exit(1)
   }
 }

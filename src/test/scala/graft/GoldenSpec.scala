@@ -201,8 +201,9 @@ class GoldenSpec extends AnyFunSuite with BeforeAndAfterAll {
       val (ih2, iw2) = SmartResize.smartResize(ih, iw)
       val fast = StrictFast.transcode(t.text,
         iw2.toDouble / origW, ih2.toDouble / origH)
-      // ParseFail guarantee: the tree parse must throw on these
-      if (fast == StrictFast.ParseFail) {
+      // ParseFail guarantee: the tree parse must throw on these (the
+      // trailing-comma tag carries the same guarantee)
+      if (fast == StrictFast.ParseFail || fast == StrictFast.ParseFailTrail) {
         parseFails += 1
         assertThrows[Exception](PyJson.parse(t.text))
       }
@@ -233,6 +234,37 @@ class GoldenSpec extends AnyFunSuite with BeforeAndAfterAll {
     info(s"fused path covered $fastRows/${turns.length} turns; $parseFails parse-fail shortcuts")
     assert(fastRows > turns.length / 3, "fused path should cover the strict majority")
     assert(parseFails > 0, "corpus should exercise the ParseFail shortcut")
+  }
+
+  test("fused repair path equals the real ladder on every t2 turn") {
+    import graft.json.StrictFast
+    import graft.geom.SmartResize
+    import graft.pipeline.PageGeom
+    val turns = Extract.readTranscripts(spark, "data/transcripts_t2").collect()
+    var tagged = 0
+    var fused = 0
+    turns.foreach { t =>
+      ExtractTurn.strictRepairEnabled = true
+      val withRepair = ExtractTurn.apply(t)
+      ExtractTurn.strictRepairEnabled = false
+      val ladder = ExtractTurn.apply(t)
+      ExtractTurn.strictRepairEnabled = true
+      assert(withRepair === ladder,
+        s"repair-path divergence at (${t.conv_id}, ${t.turn_idx})")
+      if (ExtractTurn.LayoutModes.contains(t.tool)) {
+        val (origH, origW) = PageGeom.of(t.conv_id, t.turn_idx)
+        val (ih, iw) = SmartResize.smartResize(origH, origW)
+        val (ih2, iw2) = SmartResize.smartResize(ih, iw)
+        val sx = iw2.toDouble / origW; val sy = ih2.toDouble / origH
+        if (StrictFast.transcode(t.text, sx, sy) == StrictFast.ParseFailTrail) {
+          tagged += 1
+          if (graft.clean.StrictRepair.attempt(t.text, sx, sy).isDefined) fused += 1
+        }
+      }
+    }
+    info(s"trailing-comma tagged $tagged rows; fused repair covered $fused")
+    assert(tagged > 0, "corpus should exercise the trailing-comma tag")
+    assert(fused > 0, "fused repair should cover part of the tagged class")
   }
 
   test("error rows are carried with reason, never dropped (Q4)") {

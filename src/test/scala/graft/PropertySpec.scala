@@ -227,7 +227,7 @@ class PropertySpec extends AnyFunSuite {
     check(Prop.forAll(payload) { s =>
       StrictFast.transcode(s, sx, sy) match {
         case StrictFast.ShapeFail => true // replays the tree path: trivially equal
-        case StrictFast.ParseFail =>
+        case StrictFast.ParseFail | StrictFast.ParseFailTrail =>
           // the guarantee the ExtractTurn shortcut relies on
           try { PyJson.parse(s); false } catch { case _: Exception => true }
         case StrictFast.Ok(fastJson, lean) =>
@@ -281,6 +281,107 @@ class PropertySpec extends AnyFunSuite {
     val over = payload(999)
     assert(StrictFast.transcode(over, sx, sy) === StrictFast.ParseFail)
     intercept[Exception](PyJson.parse(over))
+  }
+
+  test("fused repair ladder == real ladder (adversarial trailing-comma payloads)") {
+    import graft.pipeline.{ExtractTurn, Turn}
+    // generator biased toward the trailing-comma class and its near-misses:
+    // in-string braces / "}{" / "bbox" decoys, dup cells, meta keys, bbox
+    // extras and floats — everything that must either fuse equal or bail to
+    // the real ladder
+    val texts = Gen.oneOf("\"a\"", "\"\"", "\"x{y\"", "\"} {\"", "\"}{\"",
+      "\"has \\\"bbox\\\": inside\"", "\"bbox\"", "\"a}b\"", "\"ln\\nbr\"",
+      "\"日本語\"")
+    val coord = Gen.oneOf("1", "07".take(1), "-3", "2.5", "999.75", "0", "1e2", "100")
+    val cellG: Gen[String] = for {
+      c0 <- coord; c1 <- coord; c2 <- coord; c3 <- coord
+      extra <- Gen.oneOf("", "", "", ", 9") // bbox arity 5 sometimes
+      cat <- Gen.oneOf("\"Text\"", "\"Picture\"", "\"Formula\"")
+      txt <- texts
+      hasTxt <- Gen.oneOf(true, true, true, false)
+      meta <- Gen.oneOf("", "", "", """, "meta": [1, "m"]""", """, "meta": 4""")
+      wsB <- Gen.oneOf("", " ", "\n")
+      order <- Gen.oneOf(0, 1, 2)
+    } yield {
+      val bbox = s""""bbox":$wsB[$c0, $c1, $c2, $c3$extra]"""
+      val rest = (if (hasTxt) s""", "text": $txt""" else "") + meta
+      order match {
+        case 0 => s"""{$bbox, "category": $cat$rest}"""
+        case 1 => s"""{"category": $cat, $bbox$rest}"""
+        case _ => s"""{ $bbox , "category": $cat$rest}"""
+      }
+    }
+    val payloadG: Gen[String] = for {
+      n <- Gen.choose(1, 6)
+      cells0 <- Gen.listOfN(n, cellG)
+      dupIdx <- Gen.oneOf(true, false, false)
+      sep <- Gen.oneOf(",", ",\n", " , ")
+      tws <- Gen.oneOf("", " ", "\n ")
+      trailer <- Gen.oneOf(",", ", ", " ,")
+    } yield {
+      val cells = if (dupIdx && cells0.nonEmpty) cells0 ++ List(cells0.head) else cells0
+      s"[${cells.mkString(sep)}$trailer$tws]"
+    }
+    check(Prop.forAll(payloadG) { payload =>
+      val t = Turn("prop-conv", 2, "assistant", payload, "prompt_layout_all_en")
+      ExtractTurn.strictRepairEnabled = true
+      val fused = ExtractTurn.apply(t)
+      ExtractTurn.strictRepairEnabled = false
+      val ladder = ExtractTurn.apply(t)
+      ExtractTurn.strictRepairEnabled = true
+      fused == ladder
+    }, "fused repair == ladder")
+  }
+
+  test("fused repair: branch coverage (truncation >50k, salvage, dups, bails)") {
+    import graft.pipeline.{ExtractTurn, Turn}
+    def bothWays(payload: String): (graft.pipeline.TurnResult, graft.pipeline.TurnResult) = {
+      val t = Turn("branch-conv", 3, "assistant", payload, "prompt_layout_all_en")
+      ExtractTurn.strictRepairEnabled = true
+      val a = ExtractTurn.apply(t)
+      ExtractTurn.strictRepairEnabled = false
+      val b = ExtractTurn.apply(t)
+      ExtractTurn.strictRepairEnabled = true
+      (a, b)
+    }
+    def cell(i: Int, pad: Int = 0): String =
+      s"""{"bbox": [${i * 10}, ${i * 10 + 1}, ${i * 10 + 8}, ${i * 10 + 9}], "category": "Text", "text": "cell $i ${"x" * pad}"}"""
+
+    // >50000 chars: truncation drops the LAST cell; fused must agree
+    val big = "[" + (0 until 12).map(i => cell(i, 5000)).mkString(",\n") + ",]"
+    assert(big.length > 50000)
+    val (bigA, bigB) = bothWays(big)
+    assert(bigA === bigB)
+    assert(bigA.clean_ops.tail_truncated)
+    assert(bigA.clean_ops.final_objects === 11) // last cell cut
+    assert(bigA.md.get.contains("cell 10") && !bigA.md.get.contains("cell 11"))
+
+    // <=50k: per-block salvage keeps ALL cells
+    val small = "[" + (0 until 4).map(i => cell(i)).mkString(", ") + ", ]"
+    val (smA, smB) = bothWays(small)
+    assert(smA === smB)
+    assert(!smA.clean_ops.tail_truncated)
+    assert(smA.clean_ops.final_objects === 4)
+
+    // duplicate dict removal (first occurrence wins)
+    val dup = s"[${cell(1)}, ${cell(2)}, ${cell(1)},]"
+    val (dA, dB) = bothWays(dup)
+    assert(dA === dB)
+    assert(dA.clean_ops.duplicate_dicts_removed === 1)
+    assert(dA.clean_ops.final_objects === 2)
+
+    // in-string brace: class precondition fails -> real ladder, still equal
+    val brace = """[{"bbox": [1, 2, 3, 4], "category": "Text", "text": "a { b"},]"""
+    val (brA, brB) = bothWays(brace)
+    assert(brA === brB)
+    // in-string "}{" that the string-blind delimiter regex WOULD rewrite
+    val delim = """[{"bbox": [1, 2, 3, 4], "category": "Text", "text": "x} {y"},]"""
+    val (deA, deB) = bothWays(delim)
+    assert(deA === deB)
+    // bbox extras -> bail path, still equal
+    val extra = """[{"bbox": [1, 2, 3, 4, 5], "category": "Text", "text": "e"},]"""
+    val (exA, exB) = bothWays(extra)
+    assert(exA === exB)
   }
 
   test("string dedup (C5) preserves first-occurrence order") {
