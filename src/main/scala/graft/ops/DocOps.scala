@@ -432,6 +432,16 @@ object DocOps {
         .select(col("doc_a").as("hi"), col("doc_b").as("lo")).distinct())
     var it = 0
     var converged = e.limit(1).count() == 0L // edge-free corpus
+    // cheap per-round convergence signal: (count, sum of row hashes) — one
+    // aggregate, no join. A checksum match is CONFIRMED with a real
+    // set-equality (exceptAll) before terminating, so a hash-sum collision
+    // can only cost one extra confirmation round, never a wrong result.
+    def checksum(df: DataFrame): (Long, java.math.BigDecimal) = {
+      val r = df.agg(count(lit(1)),
+        sum(xxhash64(col("hi"), col("lo")).cast("decimal(38,0)"))).collect()(0)
+      (r.getLong(0), if (r.isNullAt(1)) java.math.BigDecimal.ZERO else r.getDecimal(1))
+    }
+    var prevChk = if (converged) null else checksum(e)
     while (!converged && it < maxIters) {
       // ---- large-star ----
       val a = e.select(col("hi").as("u"), col("lo").as("v"))
@@ -451,10 +461,13 @@ object DocOps {
           .union(m2.select(col("u").as("hi"), col("m").as("lo")))
           .where(col("hi") > col("lo")).distinct())
       // converged when a full (large; small) pass is the identity — true
-      // exactly at the star fixpoint; exceptAll on the two checkpointed
-      // leaf tables, label-scale rows only
-      converged = eNew.count() == e.count() &&
+      // exactly at the star fixpoint. Checksum first (one agg); on a
+      // match, confirm with the real set equality once.
+      val chk = checksum(eNew)
+      converged = prevChk != null && chk._1 == prevChk._1 &&
+        chk._2.compareTo(prevChk._2) == 0 &&
         eNew.exceptAll(e).limit(1).count() == 0L
+      prevChk = chk
       // dropped round tables (e, eL) aren't unpersisted here: their blocks
       // belong to localCheckpoint RDDs (explicit unpersist would destroy
       // truncated lineage); ContextCleaner frees them once unreferenced

@@ -292,7 +292,7 @@ class PropertySpec extends AnyFunSuite {
     val texts = Gen.oneOf("\"a\"", "\"\"", "\"x{y\"", "\"} {\"", "\"}{\"",
       "\"has \\\"bbox\\\": inside\"", "\"bbox\"", "\"a}b\"", "\"ln\\nbr\"",
       "\"日本語\"")
-    val coord = Gen.oneOf("1", "07".take(1), "-3", "2.5", "999.75", "0", "1e2", "100")
+    val coord = Gen.oneOf("1", "42", "-3", "2.5", "999.75", "0", "1e2", "100")
     val cellG: Gen[String] = for {
       c0 <- coord; c1 <- coord; c2 <- coord; c3 <- coord
       extra <- Gen.oneOf("", "", "", ", 9") // bbox arity 5 sometimes
