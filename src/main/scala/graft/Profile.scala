@@ -289,9 +289,36 @@ object Profile {
     }
   }
 
+  /** Quick single-query ops timing (best-of-2 warm, like the bench suite)
+    * without the full Bench run: `runMain graft.Profile ops <sfDir> [q...]`.
+    */
+  private def opsProfile(sfDir: String, qs: Array[String]): Unit = {
+    val spark = org.apache.spark.sql.SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val names = if (qs.nonEmpty) qs
+    else Array("doc_near_dups", "doc_dedup_keepers", "doc_simhash_pairs")
+    names.foreach { name =>
+      var best = Double.MaxValue
+      for (_ <- 1 to 2) {
+        val t0 = System.nanoTime()
+        graft.SparkEntry.queries(name)(spark, sfDir)
+          .write.format("noop").mode("overwrite").save()
+        graft.ops.CacheLedger.release()
+        best = math.min(best, (System.nanoTime() - t0) / 1e9)
+      }
+      println(f"PROF_OPS $name ${best}%.2f s (best of 2)")
+    }
+    spark.stop()
+  }
+
   def main(args: Array[String]): Unit = args.headOption match {
     case Some("micro") => microProfile()
     case Some("spark") => sparkProfile(args(1).toInt, args(2).toInt)
+    case Some("ops")   => opsProfile(args(1), args.drop(2))
     case _ => sparkProfile(32, 36)
   }
 }
