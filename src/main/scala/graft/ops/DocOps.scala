@@ -120,9 +120,17 @@ object DocOps {
     * whose text shingles at all (≥ k words), like the direct formulation.
     */
   def nearDups(docs: DataFrame, tau: Double = 0.5): DataFrame = {
-    val members = docs.select(md5(col("text")).as("g"), col("doc_id"))
-    val reps = members.groupBy(col("g"))
-      .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_members"))
+    // the (digest, doc_id) membership table is referenced by FIVE branches
+    // (reps, both expansion sides, both within-group sides) — without a
+    // persist each branch re-hashes the ENTIRE corpus text; the table
+    // itself is doc-count-proportional (36 B/doc), never corpus-bytes
+    val members = CacheLedger.track(
+      docs.select(md5(col("text")).as("g"), col("doc_id"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val reps = CacheLedger.track(
+      members.groupBy(col("g"))
+        .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_members"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val repDocs = docs.join(reps.select(col("doc_id")), Seq("doc_id"), "left_semi")
 
     val sh = CacheLedger.track(shingles(repDocs)
