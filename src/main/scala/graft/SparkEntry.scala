@@ -244,6 +244,18 @@ object SparkEntry {
 
     "doc_quality" -> ((s, dir) => DocOps.qualityScore(docs(s, dir)).orderBy("doc_id")),
 
+    // Gopher/RefinedWeb-style duplicate-line repetition signal (round 4)
+    "doc_rep_lines" -> ((s, dir) =>
+      DocOps.repetitionStats(docs(s, dir)).orderBy("doc_id")),
+
+    // cluster-size histogram over the near-dup connected components — the
+    // corpus-health view a dedup run reports (round 4)
+    "doc_dedup_stats" -> ((s, dir) =>
+      DocOps.dedupKeepers(docs(s, dir), tau = 0.5)
+        .groupBy(col("keeper_doc_id")).agg(count(lit(1)).as("cluster_size"))
+        .groupBy(col("cluster_size")).agg(count(lit(1)).as("n_clusters"))
+        .orderBy("cluster_size")),
+
     "doc_tokens" -> ((s, dir) => DocOps.tokenStats(docs(s, dir)).orderBy("doc_id")),
 
     "doc_fingerprint" -> ((s, dir) => DocOps.fingerprint(docs(s, dir)).orderBy("doc_id")),
@@ -509,6 +521,15 @@ object SparkEntry {
     // min-label propagation with pointer jumping)
     "doc_dedup_keepers" ->
       s"""WITH RECURSIVE ${JaccardCte.stripPrefix("WITH ")}, edges AS (SELECT doc_a AS u, doc_b AS v FROM pairs UNION ALL SELECT doc_b AS u, doc_a AS v FROM pairs), reach AS (SELECT doc_id AS u, doc_id AS r FROM documents UNION SELECT e.v AS u, reach.r FROM reach JOIN edges e ON e.u = reach.u) SELECT u AS doc_id, min(r) AS keeper_doc_id FROM reach GROUP BY u ORDER BY doc_id""",
+
+    // the same transitive closure, aggregated to the cluster-size histogram
+    "doc_dedup_stats" ->
+      s"""WITH RECURSIVE ${JaccardCte.stripPrefix("WITH ")}, edges AS (SELECT doc_a AS u, doc_b AS v FROM pairs UNION ALL SELECT doc_b AS u, doc_a AS v FROM pairs), reach AS (SELECT doc_id AS u, doc_id AS r FROM documents UNION SELECT e.v AS u, reach.r FROM reach JOIN edges e ON e.u = reach.u), keepers AS (SELECT u AS doc_id, min(r) AS keeper FROM reach GROUP BY u), clusters AS (SELECT keeper, CAST(count(*) AS BIGINT) AS cluster_size FROM keepers GROUP BY keeper) SELECT cluster_size, CAST(count(*) AS BIGINT) AS n_clusters FROM clusters GROUP BY cluster_size ORDER BY cluster_size""",
+
+    // duplicate-line repetition signal; divisions are exact-int→double so
+    // the doubles hash bit-identically
+    "doc_rep_lines" ->
+      """SELECT doc_id, n_lines, n_lines - n_distinct AS n_dup_lines, line_chars, line_chars - distinct_chars AS dup_line_chars, CAST(n_lines - n_distinct AS DOUBLE) / CAST(n_lines AS DOUBLE) AS dup_line_frac, CASE WHEN line_chars = 0 THEN 0.0 ELSE CAST(line_chars - distinct_chars AS DOUBLE) / CAST(line_chars AS DOUBLE) END AS dup_char_frac FROM (SELECT doc_id, CAST(len(str_split(text, chr(10))) AS BIGINT) AS n_lines, CAST(len(list_distinct(str_split(text, chr(10)))) AS BIGINT) AS n_distinct, CAST(list_sum(list_transform(str_split(text, chr(10)), x -> length(x))) AS BIGINT) AS line_chars, CAST(list_sum(list_transform(list_distinct(str_split(text, chr(10))), x -> length(x))) AS BIGINT) AS distinct_chars FROM documents) t ORDER BY doc_id""",
 
     "doc_lang_id" ->
       """SELECT doc_id, latin_chars, cjk_chars, cyr_chars, arab_chars, CASE WHEN cjk_chars >= greatest(latin_chars, cyr_chars, arab_chars) AND cjk_chars > 0 THEN 'cjk' WHEN cyr_chars >= greatest(latin_chars, cjk_chars, arab_chars) AND cyr_chars > 0 THEN 'cyrillic' WHEN arab_chars >= greatest(latin_chars, cjk_chars, cyr_chars) AND arab_chars > 0 THEN 'arabic' WHEN latin_chars > 0 THEN 'latin' ELSE 'unknown' END AS script FROM (SELECT doc_id, length(text) - length(regexp_replace(text, '[A-Za-z]', '', 'g')) AS latin_chars, length(text) - length(regexp_replace(text, '[\x{4E00}-\x{9FFF}]', '', 'g')) AS cjk_chars, length(text) - length(regexp_replace(text, '[\x{0400}-\x{04FF}]', '', 'g')) AS cyr_chars, length(text) - length(regexp_replace(text, '[\x{0600}-\x{06FF}]', '', 'g')) AS arab_chars FROM documents) t ORDER BY doc_id""",

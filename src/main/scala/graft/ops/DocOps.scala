@@ -301,6 +301,35 @@ object DocOps {
           (lit(0.5) + lit(0.5) * least(lit(1.0), col("stop_ratio") * 4.0)))
   }
 
+  /** Line-repetition quality signal (the Gopher/RefinedWeb "duplicate
+    * line fraction" family): per doc, the fraction of lines that are
+    * repeats of an earlier line, and the fraction of line characters
+    * inside those repeats. A doc that is one paragraph stamped 50 times —
+    * the classic crawler/boilerplate failure — scores near 1.0 while
+    * near-dup dedup across docs never sees it.
+    *
+    * 100-TB shape: a pure per-row projection (split + array HOFs), no
+    * shuffle, no explode — the line arrays never leave their row. All
+    * divisions are exact-int-to-double, so the DuckDB oracle is
+    * bit-identical.
+    */
+  def repetitionStats(docs: DataFrame): DataFrame = {
+    val lines = split(col("text"), "\n")
+    val dlines = array_distinct(lines)
+    val nl = size(lines).cast("long")
+    val nd = size(dlines).cast("long")
+    val allChars = aggregate(lines, lit(0L), (acc, x) => acc + length(x))
+    val distinctChars = aggregate(dlines, lit(0L), (acc, x) => acc + length(x))
+    docs.select(col("doc_id"), nl.as("n_lines"), (nl - nd).as("n_dup_lines"),
+        allChars.as("line_chars"), (allChars - distinctChars).as("dup_line_chars"))
+      .withColumn("dup_line_frac",
+        (col("n_dup_lines").cast("double")) / col("n_lines").cast("double"))
+      .withColumn("dup_char_frac",
+        when(col("line_chars") === 0L, 0.0)
+          .otherwise(col("dup_line_chars").cast("double") /
+            col("line_chars").cast("double")))
+  }
+
   /** Token counting: whitespace tokens + a BPE-ish regex segmentation
     * (letters run | digits run | single other-symbol).
     */

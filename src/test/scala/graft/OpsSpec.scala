@@ -128,6 +128,25 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       labels.queryExecution.logical.numberedTreeString)
   }
 
+  test("repetition stats: duplicate-line fractions (Gopher-style signal)") {
+    val s = spark
+    import s.implicits._
+    val d = Seq(
+      (1L, "aa\nbb\naa\ncc\naa"), // 5 lines, 3×"aa" → 2 dup lines, 4 dup chars of 10
+      (2L, "unique one\nunique two"),
+      (3L, ""),                    // one empty line; zero chars
+      (4L, "x\nx\nx\nx")           // fully repeated
+    ).toDF("doc_id", "text")
+    val r = DocOps.repetitionStats(d).collect()
+      .map(x => x.getLong(0) -> x).toMap
+    assert(r(1L).getLong(1) === 5L && r(1L).getLong(2) === 2L)
+    assert(r(1L).getLong(3) === 10L && r(1L).getLong(4) === 4L)
+    assert(r(1L).getDouble(5) === 0.4 && r(1L).getDouble(6) === 0.4)
+    assert(r(2L).getLong(2) === 0L && r(2L).getDouble(5) === 0.0)
+    assert(r(3L).getLong(1) === 1L && r(3L).getDouble(6) === 0.0) // 0-char guard
+    assert(r(4L).getLong(2) === 3L && r(4L).getDouble(5) === 0.75)
+  }
+
   test("SimHash: near-dup pairs have small hamming distance; identical text -> 0") {
     val fps = DocOps.simhash(docs).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toMap
