@@ -248,6 +248,11 @@ object SparkEntry {
     "doc_rep_lines" -> ((s, dir) =>
       DocOps.repetitionStats(docs(s, dir)).orderBy("doc_id")),
 
+    // the paired cleaning transform: drop repeated lines, keep first
+    // occurrences in order (round 4)
+    "doc_dedup_lines" -> ((s, dir) =>
+      DocOps.dedupLines(docs(s, dir)).orderBy("doc_id")),
+
     // cluster-size histogram over the near-dup connected components — the
     // corpus-health view a dedup run reports (round 4)
     "doc_dedup_stats" -> ((s, dir) =>
@@ -525,6 +530,11 @@ object SparkEntry {
     // the same transitive closure, aggregated to the cluster-size histogram
     "doc_dedup_stats" ->
       s"""WITH RECURSIVE ${JaccardCte.stripPrefix("WITH ")}, edges AS (SELECT doc_a AS u, doc_b AS v FROM pairs UNION ALL SELECT doc_b AS u, doc_a AS v FROM pairs), reach AS (SELECT doc_id AS u, doc_id AS r FROM documents UNION SELECT e.v AS u, reach.r FROM reach JOIN edges e ON e.u = reach.u), keepers AS (SELECT u AS doc_id, min(r) AS keeper FROM reach GROUP BY u), clusters AS (SELECT keeper, CAST(count(*) AS BIGINT) AS cluster_size FROM keepers GROUP BY keeper) SELECT cluster_size, CAST(count(*) AS BIGINT) AS n_clusters FROM clusters GROUP BY cluster_size ORDER BY cluster_size""",
+
+    // first-occurrence line dedup: DuckDB's list_distinct is unordered, so
+    // the oracle numbers lines and keeps rn=1 per (doc, line) via a window
+    "doc_dedup_lines" ->
+      """WITH split AS (SELECT doc_id, str_split(text, chr(10)) AS l FROM documents), lines AS (SELECT doc_id, l, unnest(range(len(l))) AS pos FROM split), numbered AS (SELECT doc_id, l[pos + 1] AS line, pos, row_number() OVER (PARTITION BY doc_id, l[pos + 1] ORDER BY pos) AS rn FROM lines), agg AS (SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS cleaned_text FROM numbered WHERE rn = 1 GROUP BY doc_id), removed AS (SELECT doc_id, CAST(len(l) - len(list_distinct(l)) AS BIGINT) AS n_lines_removed FROM split) SELECT a.doc_id, a.cleaned_text, r.n_lines_removed FROM agg a JOIN removed r ON a.doc_id = r.doc_id ORDER BY a.doc_id""",
 
     // duplicate-line repetition signal; divisions are exact-int→double so
     // the doubles hash bit-identically

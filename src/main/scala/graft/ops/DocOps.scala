@@ -330,6 +330,21 @@ object DocOps {
             col("line_chars").cast("double")))
   }
 
+  /** Within-doc line dedup — the CLEANING transform paired with
+    * [[repetitionStats]] (RefinedWeb-style boilerplate removal): keep each
+    * distinct line's FIRST occurrence, preserving order. Pure per-row
+    * projection (array_distinct preserves first-occurrence order), no
+    * shuffle; the DuckDB oracle replays it with a per-(doc, line) window
+    * because its list_distinct does NOT preserve order.
+    */
+  def dedupLines(docs: DataFrame): DataFrame = {
+    val lines = split(col("text"), "\n")
+    val dlines = array_distinct(lines)
+    docs.select(col("doc_id"),
+      array_join(dlines, "\n").as("cleaned_text"),
+      (size(lines) - size(dlines)).cast("long").as("n_lines_removed"))
+  }
+
   /** Token counting: whitespace tokens + a BPE-ish regex segmentation
     * (letters run | digits run | single other-symbol).
     */

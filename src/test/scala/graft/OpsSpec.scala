@@ -147,6 +147,20 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(r(4L).getLong(2) === 3L && r(4L).getDouble(5) === 0.75)
   }
 
+  test("line dedup keeps first occurrences in order") {
+    val s = spark
+    import s.implicits._
+    val d = Seq(
+      (1L, "b\na\nb\nc\na"),
+      (2L, "solo"),
+      (3L, "")
+    ).toDF("doc_id", "text")
+    val r = DocOps.dedupLines(d).collect().map(x => x.getLong(0) -> x).toMap
+    assert(r(1L).getString(1) === "b\na\nc" && r(1L).getLong(2) === 2L)
+    assert(r(2L).getString(1) === "solo" && r(2L).getLong(2) === 0L)
+    assert(r(3L).getString(1) === "" && r(3L).getLong(2) === 0L)
+  }
+
   test("SimHash: near-dup pairs have small hamming distance; identical text -> 0") {
     val fps = DocOps.simhash(docs).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toMap
