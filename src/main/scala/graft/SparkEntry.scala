@@ -253,6 +253,10 @@ object SparkEntry {
     "doc_dedup_lines" -> ((s, dir) =>
       DocOps.dedupLines(docs(s, dir)).orderBy("doc_id")),
 
+    // cross-doc shared-paragraph boilerplate signal (round 4)
+    "doc_shared_paragraphs" -> ((s, dir) =>
+      DocOps.sharedParagraphs(docs(s, dir)).orderBy("doc_id")),
+
     // cluster-size histogram over the near-dup connected components — the
     // corpus-health view a dedup run reports (round 4)
     "doc_dedup_stats" -> ((s, dir) =>
@@ -530,6 +534,11 @@ object SparkEntry {
     // the same transitive closure, aggregated to the cluster-size histogram
     "doc_dedup_stats" ->
       s"""WITH RECURSIVE ${JaccardCte.stripPrefix("WITH ")}, edges AS (SELECT doc_a AS u, doc_b AS v FROM pairs UNION ALL SELECT doc_b AS u, doc_a AS v FROM pairs), reach AS (SELECT doc_id AS u, doc_id AS r FROM documents UNION SELECT e.v AS u, reach.r FROM reach JOIN edges e ON e.u = reach.u), keepers AS (SELECT u AS doc_id, min(r) AS keeper FROM reach GROUP BY u), clusters AS (SELECT keeper, CAST(count(*) AS BIGINT) AS cluster_size FROM keepers GROUP BY keeper) SELECT cluster_size, CAST(count(*) AS BIGINT) AS n_clusters FROM clusters GROUP BY cluster_size ORDER BY cluster_size""",
+
+    // cross-doc shared paragraphs: the oracle groups by the raw paragraph
+    // (the engine groups by md5 — same partition, collision-free)
+    "doc_shared_paragraphs" ->
+      """WITH paras AS (SELECT doc_id, unnest(str_split(text, chr(10) || chr(10))) AS p FROM documents), cnt AS (SELECT p, count(DISTINCT doc_id) AS n_docs FROM paras GROUP BY p) SELECT paras.doc_id, CAST(count(*) AS BIGINT) AS n_paras, CAST(sum(CASE WHEN cnt.n_docs >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared_paras, CAST(sum(CASE WHEN cnt.n_docs >= 2 THEN 1 ELSE 0 END) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS shared_frac FROM paras JOIN cnt ON paras.p = cnt.p GROUP BY paras.doc_id ORDER BY paras.doc_id""",
 
     // first-occurrence line dedup: DuckDB's list_distinct is unordered, so
     // the oracle numbers lines and keeps rn=1 per (doc, line) via a window

@@ -330,6 +330,29 @@ object DocOps {
             col("line_chars").cast("double")))
   }
 
+  /** Cross-doc shared-paragraph signal (the boilerplate analog of
+    * paragraph-level training-data dedup): per doc, how many of its
+    * paragraphs also occur in at least one OTHER doc. Catches sitewide
+    * boilerplate (headers, license blocks) that document-level MinHash
+    * misses because the surrounding text differs.
+    *
+    * 100-TB shape: paragraphs are digested map-side, so the global
+    * occurrence count shuffles (digest, doc_id) pairs and the join-back
+    * shuffles (doc_id, digest) — raw text never crosses an exchange.
+    */
+  def sharedParagraphs(docs: DataFrame): DataFrame = {
+    val paras = docs.select(col("doc_id"),
+      explode(transform(split(col("text"), "\n\n"), p => md5(p))).as("h"))
+    val counts = paras.groupBy(col("h"))
+      .agg(countDistinct(col("doc_id")).as("n_docs"))
+    paras.join(counts, Seq("h"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_paras"),
+        sum(when(col("n_docs") >= 2, 1L).otherwise(0L)).as("n_shared_paras"))
+      .withColumn("shared_frac",
+        col("n_shared_paras").cast("double") / col("n_paras").cast("double"))
+  }
+
   /** Within-doc line dedup — the CLEANING transform paired with
     * [[repetitionStats]] (RefinedWeb-style boilerplate removal): keep each
     * distinct line's FIRST occurrence, preserving order. Pure per-row

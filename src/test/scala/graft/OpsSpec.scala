@@ -147,6 +147,26 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(r(4L).getLong(2) === 3L && r(4L).getDouble(5) === 0.75)
   }
 
+  test("shared paragraphs: cross-doc boilerplate counted, text never shuffled") {
+    val s = spark
+    import s.implicits._
+    val boiler = "COPYRIGHT NOTICE 2026"
+    val d = Seq(
+      (1L, s"$boiler\n\nunique body one"),
+      (2L, s"$boiler\n\nunique body two"),
+      (3L, "entirely original\n\ncontent here")
+    ).toDF("doc_id", "text")
+    val r = DocOps.sharedParagraphs(d).collect().map(x => x.getLong(0) -> x).toMap
+    assert(r(1L).getLong(1) === 2L && r(1L).getLong(2) === 1L)
+    assert(r(1L).getDouble(3) === 0.5)
+    assert(r(2L).getLong(2) === 1L)
+    assert(r(3L).getLong(2) === 0L && r(3L).getDouble(3) === 0.0)
+    // scale shape: no raw paragraph strings cross an exchange — only the
+    // 32-char digests (and partial-agg buffers) do
+    val plan = DocOps.sharedParagraphs(d).queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange hashpartitioning(p#"), plan)
+  }
+
   test("line dedup keeps first occurrences in order") {
     val s = spark
     import s.implicits._
