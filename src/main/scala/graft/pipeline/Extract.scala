@@ -166,19 +166,39 @@ object Extract {
     * pruned key scan: lineage files are left byte-identical (spec-asserted
     * in GoldenSpec).
     */
+  /** The deterministic conv_id-hash bucket (portable md5-prefix family) —
+    * the content key shared by bucket lineage and the optional
+    * bucket-partitioned results layout.
+    */
+  def bucketCol(c: org.apache.spark.sql.Column, nBuckets: Int = 32): org.apache.spark.sql.Column =
+    pmod(conv(substring(md5(c), 1, 15), 16, 10).cast("long"),
+      lit(nBuckets.toLong)).cast("int")
+
+  /** Recursive part-file listing of a results dir (works for both the flat
+    * and the bucket-partitioned layout).
+    */
+  private def listDataFiles(fs: org.apache.hadoop.fs.FileSystem,
+                            path: org.apache.hadoop.fs.Path): Set[String] = {
+    if (!fs.exists(path)) return Set.empty
+    val out = Set.newBuilder[String]
+    val it = fs.listFiles(path, true)
+    while (it.hasNext) {
+      val s = it.next()
+      if (s.isFile && s.getPath.getName.startsWith("part-"))
+        out += s.getPath.toString
+    }
+    out.result()
+  }
+
   def runCheckpointed(spark: SparkSession, transcriptsPath: String,
-                      outDir: String): Map[String, Any] = {
+                      outDir: String, bucketPartitioned: Boolean = false): Map[String, Any] = {
     val turns = readTranscripts(spark, transcriptsPath)
     // Resolve through Hadoop's FileSystem, not java.io.File: outDir may be
     // HDFS/S3 under spark-submit, where a local-File check is always false
     // and a resumed run would silently re-append already-processed keys.
     val resultsPath = new org.apache.hadoop.fs.Path(s"$outDir/results")
     val fs = resultsPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    def dataFiles(): Set[String] =
-      if (!fs.exists(resultsPath)) Set.empty
-      else fs.listStatus(resultsPath).iterator
-        .filter(s => s.isFile && s.getPath.getName.startsWith("part-"))
-        .map(_.getPath.toString).toSet
+    def dataFiles(): Set[String] = listDataFiles(fs, resultsPath)
     val existed = fs.exists(resultsPath)
     val remaining =
       if (existed) resumeFrom(turns, spark.read.parquet(s"$outDir/results"))
@@ -186,7 +206,16 @@ object Extract {
     val (df, obs) = withObservedMetrics(
       extract(remaining).sortWithinPartitions("conv_id", "turn_idx"))
     val before = dataFiles()
-    df.write.mode("append").parquet(s"$outDir/results")
+    // bucket-partitioned layout (opt-in): conv_id-hash dirs let the error
+    // re-parse pass overwrite only AFFECTED buckets (partition-granular —
+    // the plain-parquet stand-in for Iceberg's row-level MERGE). Tradeoff:
+    // each task writes up to nBuckets files; a production deployment that
+    // cares more about file counts than the extra shuffle can repartition
+    // on the bucket column first.
+    if (bucketPartitioned)
+      df.withColumn("bucket", bucketCol(col("conv_id")))
+        .write.partitionBy("bucket").mode("append").parquet(s"$outDir/results")
+    else df.write.mode("append").parquet(s"$outDir/results")
     val metrics = obs.get.map { case (k, v) => k -> v }
     val incRows = metrics.getOrElse("rows", 0L).asInstanceOf[Long]
     val newFiles = (dataFiles() -- before).toSeq.sorted
@@ -238,10 +267,14 @@ object Extract {
     * invariant because the key set is unchanged), and the re-parse batch
     * appends its own `run_id` to the partition lineage.
     *
-    * Scale note: with a plain-parquet substrate the merged table must be
-    * rewritten and dir-swapped (Hadoop rename) — O(corpus) I/O with a
-    * non-atomic window. On Iceberg this is `MERGE INTO` / row-level delete,
-    * touching only affected files (COVERAGE.md declared divergence).
+    * Scale note: with the FLAT plain-parquet layout the merged table must
+    * be rewritten and dir-swapped (Hadoop rename) — O(corpus) I/O with a
+    * non-atomic window. With the BUCKET-PARTITIONED layout
+    * (runCheckpointed(bucketPartitioned = true)) the pass rewrites ONLY
+    * the conv_id-hash buckets that contain error keys and swaps those
+    * partition dirs — partition-granular I/O, the plain-parquet stand-in
+    * for Iceberg's row-level MERGE (which would additionally make the
+    * swap one atomic snapshot commit; COVERAGE.md declared divergence).
     * Assumes every error key still exists in the transcripts table (true
     * here by construction: error rows originate from it).
     */
@@ -255,6 +288,9 @@ object Extract {
 
     val resultsPath = new org.apache.hadoop.fs.Path(resultsDir)
     val fs = resultsPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // layout detection: bucket=N partition dirs present?
+    val partitioned = fs.listStatus(resultsPath)
+      .exists(s => s.isDirectory && s.getPath.getName.startsWith("bucket="))
 
     // aggregates of the rows being replaced — materialized (≤ nBuckets
     // rows) BEFORE the results dir is swapped out from under the plan
@@ -276,13 +312,31 @@ object Extract {
     val metrics = obs.get.map { case (k, v) => k -> v }
     val inc = spark.read.parquet(incDir)
 
-    // merge-by-key: everything that wasn't an error, plus the re-parsed
-    // rows; rewrite + rename (see Scaladoc scale note)
+    // merge-by-key (see Scaladoc scale note)
     val tmpDir = s"$outDir/results_reparse_tmp"
-    results.where(col("status") =!= "error").unionByName(inc)
-      .write.mode("overwrite").parquet(tmpDir)
-    fs.delete(resultsPath, true)
-    fs.rename(new org.apache.hadoop.fs.Path(tmpDir), resultsPath)
+    if (partitioned) {
+      // partition-granular: rewrite only the buckets holding error keys
+      val affected = results.where(col("status") === "error")
+        .select(col("bucket")).distinct().collect().map(_.getAs[Number]("bucket").intValue())
+      results
+        .where(col("bucket").isin(affected.map(Int.box): _*))
+        .where(col("status") =!= "error")
+        .unionByName(inc.withColumn("bucket", bucketCol(col("conv_id"))))
+        .write.partitionBy("bucket").mode("overwrite").parquet(tmpDir)
+      affected.foreach { b =>
+        val src = new org.apache.hadoop.fs.Path(s"$tmpDir/bucket=$b")
+        val dst = new org.apache.hadoop.fs.Path(s"$resultsDir/bucket=$b")
+        fs.delete(dst, true)
+        fs.rename(src, dst)
+      }
+      fs.delete(new org.apache.hadoop.fs.Path(tmpDir), true)
+    } else {
+      // flat layout: full rewrite + dir swap
+      results.where(col("status") =!= "error").unionByName(inc)
+        .write.mode("overwrite").parquet(tmpDir)
+      fs.delete(resultsPath, true)
+      fs.rename(new org.apache.hadoop.fs.Path(tmpDir), resultsPath)
+    }
 
     // bucket-lineage delta patch: only the three content sums move
     val newAgg = bucketLineage(inc)
@@ -343,7 +397,11 @@ object Extract {
       col("clean_ops"))
     val nInjected = results.where(pred).count()
     val tmpDir = s"$outDir/results_inject_tmp"
-    degraded.write.mode("overwrite").parquet(tmpDir)
+    // preserve the table layout (flat or bucket-partitioned)
+    if (results.columns.contains("bucket"))
+      degraded.withColumn("bucket", bucketCol(col("conv_id")))
+        .write.partitionBy("bucket").mode("overwrite").parquet(tmpDir)
+    else degraded.write.mode("overwrite").parquet(tmpDir)
     fs.delete(resultsPath, true)
     fs.rename(new org.apache.hadoop.fs.Path(tmpDir), resultsPath)
     val all = spark.read.parquet(resultsDir)

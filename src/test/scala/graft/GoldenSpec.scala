@@ -158,6 +158,55 @@ class GoldenSpec extends AnyFunSuite with BeforeAndAfterAll {
       .collect()(0).getLong(0) === degradedErrors)
   }
 
+  test("bucket-partitioned reparse rewrites only the buckets holding errors") {
+    import org.apache.spark.sql.functions.{col, lit}
+    val out = java.nio.file.Files.createTempDirectory("graft-reparse-part")
+      .toFile.getAbsolutePath
+    Extract.runCheckpointed(spark, "data/transcripts_t1", out,
+      bucketPartitioned = true)
+    def rows() = spark.read.parquet(s"$out/results").drop("bucket")
+      .orderBy("conv_id", "turn_idx").collect().toSeq
+    val clean = rows()
+    assert(clean.size === 1163)
+
+    // corrupt one conversation → its bucket joins the error-bucket set
+    val n = Extract.injectTransientErrors(spark, out,
+      col("conv_id") === "t1-conv-00007")
+    assert(n > 0L)
+    // every bucket that holds ANY error row (injected or genuine) will be
+    // rewritten; every other bucket dir must stay byte-identical
+    val errorBuckets = spark.read.parquet(s"$out/results")
+      .where(col("status") === "error")
+      .select("bucket").distinct().collect()
+      .map(_.getAs[Number]("bucket").intValue()).toSet
+    val injBucket = spark.range(1)
+      .select(Extract.bucketCol(lit("t1-conv-00007"))).collect()(0).getInt(0)
+    assert(errorBuckets.contains(injBucket))
+    def bucketState(): Map[String, Seq[(String, Long, Long)]] = {
+      val d = new java.io.File(s"$out/results")
+      d.listFiles().filter(f => f.isDirectory && f.getName.startsWith("bucket="))
+        .map(b => b.getName -> b.listFiles().toSeq
+          .filter(_.getName.startsWith("part-"))
+          .map(f => (f.getName, f.length(), f.lastModified())).sortBy(_._1))
+        .toMap
+    }
+    val degradedState = bucketState()
+
+    val m = Extract.reparseErrors(spark, "data/transcripts_t1", out)
+    assert(m("rows").asInstanceOf[Long] > 0L)
+    assert(rows() === clean) // byte-equal restore, genuine errors included
+    val after = bucketState()
+    val touched = after.keySet.filter(k => degradedState.get(k) != after.get(k))
+    assert(touched === errorBuckets.map(b => s"bucket=$b"),
+      s"rewrote $touched, expected exactly the error buckets $errorBuckets")
+    // lineage reconciles with a full recompute over the restored table
+    val buckets = spark.read.parquet(s"$out/lineage_buckets")
+      .orderBy("bucket").collect().toSeq
+    assert(buckets === Extract.bucketLineage(
+        spark.read.parquet(s"$out/results").drop("bucket"))
+      .orderBy("bucket").collect().toSeq)
+  }
+
   test("incremental lineage merge equals a full recompute across increments") {
     import org.apache.spark.sql.functions.col
     val base = java.nio.file.Files.createTempDirectory("graft-ckpt-inc")
