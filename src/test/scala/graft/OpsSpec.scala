@@ -145,6 +145,9 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(r(2L).getLong(2) === 0L && r(2L).getDouble(5) === 0.0)
     assert(r(3L).getLong(1) === 1L && r(3L).getDouble(6) === 0.0) // 0-char guard
     assert(r(4L).getLong(2) === 3L && r(4L).getDouble(5) === 0.75)
+    // pure projection: no Exchange anywhere in the physical plan
+    assert(!DocOps.repetitionStats(d).queryExecution.executedPlan.toString
+      .contains("Exchange"))
   }
 
   test("shared paragraphs: cross-doc boilerplate counted, text never shuffled") {

@@ -29,6 +29,35 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   override def afterAll(): Unit = if (spark != null) spark.stop()
 
+  test("stateless doc ops run unchanged under Structured Streaming (API symmetry)") {
+    // quality scoring / repetition stats / line dedup are pure per-row
+    // projections, so the SAME DataFrame functions compose onto a
+    // readStream source with no code changes — the training-data pipeline
+    // can score/clean documents as they land
+    import graft.ops.DocOps
+    val work = Files.createTempDirectory("graft-stream-docs").toFile.getAbsolutePath
+    val landing = s"$work/landing"
+    val docs = {
+      val s = spark
+      import s.implicits._
+      Seq((1L, "dup\ndup\nbody text here"), (2L, "clean doc\nwith two lines"))
+        .toDF("doc_id", "text")
+    }
+    docs.write.parquet(landing)
+    val stream = spark.readStream.schema(docs.schema).parquet(landing)
+    val outQ = DocOps.repetitionStats(stream).writeStream
+      .format("memory").queryName("rep_stream").outputMode("append").start()
+    outQ.processAllAvailable(); outQ.stop()
+    val streamed = spark.table("rep_stream").orderBy("doc_id").collect()
+    val batch = DocOps.repetitionStats(docs).orderBy("doc_id").collect()
+    assert(streamed.toSeq === batch.toSeq)
+    val outQ2 = DocOps.dedupLines(stream).writeStream
+      .format("memory").queryName("dedup_stream").outputMode("append").start()
+    outQ2.processAllAvailable(); outQ2.stop()
+    assert(spark.table("dedup_stream").orderBy("doc_id").collect().toSeq ===
+      DocOps.dedupLines(docs).orderBy("doc_id").collect().toSeq)
+  }
+
   test("streaming extraction equals batch extraction; checkpoint resume skips done work") {
     val work = Files.createTempDirectory("graft-stream").toFile.getAbsolutePath
     val landing = s"$work/landing"
