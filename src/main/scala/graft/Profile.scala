@@ -126,6 +126,7 @@ object Profile {
           iw2.toDouble / ow, ih2.toDouble / oh) eq graft.json.StrictFast.ParseFailTrail)
     }
     def abRepair(name: String, rs: Array[Turn], rounds: Int): Unit = {
+      if (rs.isEmpty) { println(s"MICRO $name n=0 (no trailing-comma rows)"); return }
       val tid = Thread.currentThread().getId
       var i = 0
       while (i < 2) { rs.foreach(ExtractTurn.apply); i += 1 } // warmup

@@ -174,6 +174,28 @@ object Extract {
     pmod(conv(substring(md5(c), 1, 15), 16, 10).cast("long"),
       lit(nBuckets.toLong)).cast("int")
 
+  /** Replace `dst` with `src` via delete + rename, FAILING LOUDLY when the
+    * filesystem reports failure: Hadoop's delete/rename signal errors via
+    * their Boolean return, and ignoring them after the live dir was deleted
+    * would silently destroy data while lineage gets patched as if the swap
+    * happened.
+    */
+  private def swapInto(fs: org.apache.hadoop.fs.FileSystem,
+                       src: org.apache.hadoop.fs.Path,
+                       dst: org.apache.hadoop.fs.Path): Unit = {
+    if (fs.exists(dst) && !fs.delete(dst, true))
+      throw new IllegalStateException(s"could not delete $dst before swap")
+    if (!fs.rename(src, dst))
+      throw new IllegalStateException(
+        s"rename $src -> $dst failed; source data preserved at $src")
+  }
+
+  /** Does a results dir use the bucket-partitioned layout? */
+  private def isBucketPartitioned(fs: org.apache.hadoop.fs.FileSystem,
+                                  path: org.apache.hadoop.fs.Path): Boolean =
+    fs.exists(path) && fs.listStatus(path)
+      .exists(s => s.isDirectory && s.getPath.getName.startsWith("bucket="))
+
   /** Recursive part-file listing of a results dir (works for both the flat
     * and the bucket-partitioned layout).
     */
@@ -200,6 +222,33 @@ object Extract {
     val fs = resultsPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     def dataFiles(): Set[String] = listDataFiles(fs, resultsPath)
     val existed = fs.exists(resultsPath)
+    // the bucketPartitioned flag governs INITIAL creation only: a resume
+    // always follows the layout it finds on disk, so a caller passing the
+    // wrong flag cannot append mixed-layout files that break partition
+    // discovery
+    val usePartitioned =
+      if (existed) isBucketPartitioned(fs, resultsPath) else bucketPartitioned
+    // self-healing guard for the incremental lineage: the results append
+    // and the lineage writes are separate non-atomic steps, so a crash
+    // between them leaves lineage stale — and a later zero-row resume
+    // would never repair it. The check costs one parquet FOOTER count
+    // (metadata only, no data scan) plus two ≤(32+runs)-row reads; when it
+    // trips, this run falls back to a full lineage recompute.
+    val bucketsPath = new org.apache.hadoop.fs.Path(s"$outDir/lineage_buckets")
+    val lineagePath = new org.apache.hadoop.fs.Path(s"$outDir/lineage")
+    // (only lineage_buckets carries the rows_out == table-count invariant:
+    // the partition-lineage table is an append-only run log whose sums
+    // legitimately exceed the row count once reparseErrors has appended a
+    // re-parse batch)
+    val healNeeded = existed && {
+      if (!fs.exists(bucketsPath) || !fs.exists(lineagePath)) true
+      else {
+        val resultCount = spark.read.parquet(s"$outDir/results").count()
+        val bucketsSum = spark.read.parquet(s"$outDir/lineage_buckets")
+          .agg(coalesce(sum(col("rows_out")), lit(0L))).collect()(0).getLong(0)
+        bucketsSum != resultCount
+      }
+    }
     val remaining =
       if (existed) resumeFrom(turns, spark.read.parquet(s"$outDir/results"))
       else turns
@@ -212,18 +261,29 @@ object Extract {
     // each task writes up to nBuckets files; a production deployment that
     // cares more about file counts than the extra shuffle can repartition
     // on the bucket column first.
-    if (bucketPartitioned)
+    if (usePartitioned)
       df.withColumn("bucket", bucketCol(col("conv_id")))
         .write.partitionBy("bucket").mode("append").parquet(s"$outDir/results")
     else df.write.mode("append").parquet(s"$outDir/results")
     val metrics = obs.get.map { case (k, v) => k -> v }
     val incRows = metrics.getOrElse("rows", 0L).asInstanceOf[Long]
     val newFiles = (dataFiles() -- before).toSeq.sorted
-    if (incRows > 0L && newFiles.nonEmpty) {
+    if (healNeeded) {
+      // stale/missing lineage detected (crashed previous run): recompute
+      // both tables from the full results table — the pre-round-4 shape,
+      // run only when the incremental invariant is broken
+      val all = spark.read.parquet(s"$outDir/results")
+      val healedBuckets = bucketLineage(all).localCheckpoint(true)
+      healedBuckets.write.mode("overwrite").parquet(s"$outDir/lineage_buckets")
+      healedBuckets.unpersist(blocking = false)
+      val healedParts = partitionLineage(all).withColumn("run_id", lit(0L))
+        .localCheckpoint(true)
+      healedParts.write.mode("overwrite").parquet(s"$outDir/lineage")
+      healedParts.unpersist(blocking = false)
+    } else if (incRows > 0L && newFiles.nonEmpty) {
       // the increment, re-read from only this run's files (column-pruned
       // to the 4 lineage columns by the aggregates below)
       val inc = spark.read.parquet(newFiles: _*)
-      val bucketsPath = new org.apache.hadoop.fs.Path(s"$outDir/lineage_buckets")
       val incBuckets = bucketLineage(inc)
       val merged =
         if (fs.exists(bucketsPath))
@@ -246,7 +306,6 @@ object Extract {
       // physical-partition lineage: one appended batch per run (records the
       // run that actually happened, rather than re-deriving partitions from
       // a full re-read of prior runs' files)
-      val lineagePath = new org.apache.hadoop.fs.Path(s"$outDir/lineage")
       val runId =
         if (fs.exists(lineagePath))
           spark.read.parquet(s"$outDir/lineage")
@@ -289,8 +348,7 @@ object Extract {
     val resultsPath = new org.apache.hadoop.fs.Path(resultsDir)
     val fs = resultsPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     // layout detection: bucket=N partition dirs present?
-    val partitioned = fs.listStatus(resultsPath)
-      .exists(s => s.isDirectory && s.getPath.getName.startsWith("bucket="))
+    val partitioned = isBucketPartitioned(fs, resultsPath)
 
     // aggregates of the rows being replaced — materialized (≤ nBuckets
     // rows) BEFORE the results dir is swapped out from under the plan
@@ -324,18 +382,15 @@ object Extract {
         .unionByName(inc.withColumn("bucket", bucketCol(col("conv_id"))))
         .write.partitionBy("bucket").mode("overwrite").parquet(tmpDir)
       affected.foreach { b =>
-        val src = new org.apache.hadoop.fs.Path(s"$tmpDir/bucket=$b")
-        val dst = new org.apache.hadoop.fs.Path(s"$resultsDir/bucket=$b")
-        fs.delete(dst, true)
-        fs.rename(src, dst)
+        swapInto(fs, new org.apache.hadoop.fs.Path(s"$tmpDir/bucket=$b"),
+          new org.apache.hadoop.fs.Path(s"$resultsDir/bucket=$b"))
       }
       fs.delete(new org.apache.hadoop.fs.Path(tmpDir), true)
     } else {
       // flat layout: full rewrite + dir swap
       results.where(col("status") =!= "error").unionByName(inc)
         .write.mode("overwrite").parquet(tmpDir)
-      fs.delete(resultsPath, true)
-      fs.rename(new org.apache.hadoop.fs.Path(tmpDir), resultsPath)
+      swapInto(fs, new org.apache.hadoop.fs.Path(tmpDir), resultsPath)
     }
 
     // bucket-lineage delta patch: only the three content sums move
@@ -402,8 +457,7 @@ object Extract {
       degraded.withColumn("bucket", bucketCol(col("conv_id")))
         .write.partitionBy("bucket").mode("overwrite").parquet(tmpDir)
     else degraded.write.mode("overwrite").parquet(tmpDir)
-    fs.delete(resultsPath, true)
-    fs.rename(new org.apache.hadoop.fs.Path(tmpDir), resultsPath)
+    swapInto(fs, new org.apache.hadoop.fs.Path(tmpDir), resultsPath)
     val all = spark.read.parquet(resultsDir)
     bucketLineage(all).localCheckpoint(true)
       .write.mode("overwrite").parquet(s"$outDir/lineage_buckets")

@@ -158,6 +158,54 @@ class GoldenSpec extends AnyFunSuite with BeforeAndAfterAll {
       .collect()(0).getLong(0) === degradedErrors)
   }
 
+  test("lineage self-heals after a crash between results append and lineage write") {
+    import org.apache.spark.sql.functions.{col, sum => fsum}
+    val out = java.nio.file.Files.createTempDirectory("graft-heal").toFile.getAbsolutePath
+    Extract.runCheckpointed(spark, "data/transcripts_t1", out)
+    val cleanBuckets = spark.read.parquet(s"$out/lineage_buckets")
+      .orderBy("bucket").collect().toSeq
+    // simulate the crash window: results written, lineage not
+    def rmrf(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rmrf); f.delete(); ()
+    }
+    rmrf(new java.io.File(s"$out/lineage_buckets"))
+    // a zero-row resume must DETECT the broken invariant and recompute
+    val m = Extract.runCheckpointed(spark, "data/transcripts_t1", out)
+    assert(m("rows").asInstanceOf[Long] === 0L)
+    assert(spark.read.parquet(s"$out/lineage_buckets")
+      .orderBy("bucket").collect().toSeq === cleanBuckets)
+    assert(spark.read.parquet(s"$out/lineage").agg(fsum("rows_out"))
+      .collect()(0).getLong(0) === 1163L)
+    // and a stale (undercounting) buckets table trips the same guard
+    spark.read.parquet(s"$out/lineage_buckets").where(col("bucket") =!= 0)
+      .write.mode("overwrite").parquet(s"$out/lineage_buckets_tmp")
+    rmrf(new java.io.File(s"$out/lineage_buckets"))
+    new java.io.File(s"$out/lineage_buckets_tmp")
+      .renameTo(new java.io.File(s"$out/lineage_buckets"))
+    Extract.runCheckpointed(spark, "data/transcripts_t1", out)
+    assert(spark.read.parquet(s"$out/lineage_buckets")
+      .orderBy("bucket").collect().toSeq === cleanBuckets)
+  }
+
+  test("resume follows the on-disk layout regardless of the flag") {
+    import org.apache.spark.sql.functions.col
+    val base = java.nio.file.Files.createTempDirectory("graft-layout")
+    val splitDir = s"$base/first_half"
+    val out = s"$base/out"
+    val turns = Extract.readTranscripts(spark, "data/transcripts_t1")
+    turns.toDF().where(col("conv_id") < "t1-conv-00060").write.parquet(splitDir)
+    // created partitioned; resumed WITHOUT the flag — the increment must
+    // still land under bucket= dirs, not as mixed flat files
+    Extract.runCheckpointed(spark, splitDir, out, bucketPartitioned = true)
+    Extract.runCheckpointed(spark, "data/transcripts_t1", out)
+    val root = new java.io.File(s"$out/results")
+    assert(root.listFiles().filter(_.isFile).forall(!_.getName.startsWith("part-")),
+      "flat part-files appended into a bucket-partitioned table")
+    val all = spark.read.parquet(s"$out/results")
+    assert(all.count() === 1163L)
+    assert(all.columns.contains("bucket"))
+  }
+
   test("bucket-partitioned reparse rewrites only the buckets holding errors") {
     import org.apache.spark.sql.functions.{col, lit}
     val out = java.nio.file.Files.createTempDirectory("graft-reparse-part")
