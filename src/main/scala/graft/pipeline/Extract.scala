@@ -326,16 +326,17 @@ object Extract {
     * invariant because the key set is unchanged), and the re-parse batch
     * appends its own `run_id` to the partition lineage.
     *
-    * Scale note: with the FLAT plain-parquet layout the merged table must
-    * be rewritten and dir-swapped (Hadoop rename) — O(corpus) I/O with a
-    * non-atomic window. With the BUCKET-PARTITIONED layout
-    * (runCheckpointed(bucketPartitioned = true)) the pass rewrites ONLY
-    * the conv_id-hash buckets that contain error keys and swaps those
-    * partition dirs — partition-granular I/O, the plain-parquet stand-in
-    * for Iceberg's row-level MERGE (which would additionally make the
-    * swap one atomic snapshot commit; COVERAGE.md declared divergence).
-    * Assumes every error key still exists in the transcripts table (true
-    * here by construction: error rows originate from it).
+    * Scale note: the rewrite is FILE-granular in BOTH layouts — only the
+    * part-files that contain error rows (identified by input_file_name()
+    * during the same pruned scan that finds the error keys) are retired
+    * and replaced; every other file survives byte-identical
+    * (spec-asserted). This matches Iceberg MERGE's I/O granularity; the
+    * remaining gap is transactionality — Iceberg commits the file swap as
+    * one atomic snapshot, while here the per-file delete+rename window is
+    * non-atomic (COVERAGE.md declared divergence). Replacement files
+    * accumulate per pass; compaction is a separate concern, as it is for
+    * Iceberg. Assumes every error key still exists in the transcripts
+    * table (true here by construction: error rows originate from it).
     */
   def reparseErrors(spark: SparkSession, transcriptsPath: String,
                     outDir: String): Map[String, Any] = {
@@ -370,28 +371,53 @@ object Extract {
     val metrics = obs.get.map { case (k, v) => k -> v }
     val inc = spark.read.parquet(incDir)
 
-    // merge-by-key (see Scaladoc scale note)
+    // merge-by-key, FILE-granular (see Scaladoc scale note): only the
+    // part-files that actually CONTAIN error rows are rewritten —
+    // input_file_name() identifies them exactly during the same pruned
+    // scan that found the error keys, with no footer-stats machinery.
+    // Untouched files (the vast majority at corpus scale) survive
+    // byte-identical in both layouts.
+    val errFiles = results
+      .withColumn("__f", input_file_name())
+      .where(col("status") === "error")
+      .select("__f").distinct().collect().map(_.getString(0))
     val tmpDir = s"$outDir/results_reparse_tmp"
-    if (partitioned) {
-      // partition-granular: rewrite only the buckets holding error keys
-      val affected = results.where(col("status") === "error")
-        .select(col("bucket")).distinct().collect().map(_.getAs[Number]("bucket").intValue())
-      results
-        .where(col("bucket").isin(affected.map(Int.box): _*))
-        .where(col("status") =!= "error")
+    val kept = spark.read.parquet(errFiles: _*).where(col("status") =!= "error")
+    if (partitioned)
+      // the bucket partition column is path-carried, not file-carried:
+      // recompute it for routing (equals each row's source dir value by
+      // construction of the layout)
+      kept.withColumn("bucket", bucketCol(col("conv_id")))
         .unionByName(inc.withColumn("bucket", bucketCol(col("conv_id"))))
         .write.partitionBy("bucket").mode("overwrite").parquet(tmpDir)
-      affected.foreach { b =>
-        swapInto(fs, new org.apache.hadoop.fs.Path(s"$tmpDir/bucket=$b"),
-          new org.apache.hadoop.fs.Path(s"$resultsDir/bucket=$b"))
-      }
-      fs.delete(new org.apache.hadoop.fs.Path(tmpDir), true)
-    } else {
-      // flat layout: full rewrite + dir swap
-      results.where(col("status") =!= "error").unionByName(inc)
-        .write.mode("overwrite").parquet(tmpDir)
-      swapInto(fs, new org.apache.hadoop.fs.Path(tmpDir), resultsPath)
+    else kept.unionByName(inc).write.mode("overwrite").parquet(tmpDir)
+    // tmp is fully materialized; now retire the error files and move the
+    // replacements in (UUID part names cannot collide), failing loudly on
+    // any filesystem refusal
+    errFiles.foreach { f =>
+      val p = new org.apache.hadoop.fs.Path(f)
+      if (!fs.delete(p, false))
+        throw new IllegalStateException(s"could not delete error file $p")
     }
+    def moveParts(srcDir: org.apache.hadoop.fs.Path,
+                  dstDir: org.apache.hadoop.fs.Path): Unit = {
+      fs.mkdirs(dstDir)
+      fs.listStatus(srcDir)
+        .filter(s => s.isFile && s.getPath.getName.startsWith("part-"))
+        .foreach { s =>
+          val dst = new org.apache.hadoop.fs.Path(dstDir, s.getPath.getName)
+          if (!fs.rename(s.getPath, dst))
+            throw new IllegalStateException(s"rename ${s.getPath} -> $dst failed")
+        }
+    }
+    val tmpPath = new org.apache.hadoop.fs.Path(tmpDir)
+    if (partitioned)
+      fs.listStatus(tmpPath)
+        .filter(s => s.isDirectory && s.getPath.getName.startsWith("bucket="))
+        .foreach(d => moveParts(d.getPath,
+          new org.apache.hadoop.fs.Path(resultsDir, d.getPath.getName)))
+    else moveParts(tmpPath, resultsPath)
+    fs.delete(tmpPath, true)
 
     // bucket-lineage delta patch: only the three content sums move
     val newAgg = bucketLineage(inc)

@@ -239,6 +239,13 @@ class GoldenSpec extends AnyFunSuite with BeforeAndAfterAll {
         .toMap
     }
     val degradedState = bucketState()
+    // the exact files holding error rows — the ONLY files reparse may touch
+    val errFiles = spark.read.parquet(s"$out/results")
+      .withColumn("__f", org.apache.spark.sql.functions.input_file_name())
+      .where(col("status") === "error")
+      .select("__f").distinct().collect()
+      .map(r => new java.io.File(new java.net.URI(r.getString(0))).getName).toSet
+    assert(errFiles.nonEmpty)
 
     val m = Extract.reparseErrors(spark, "data/transcripts_t1", out)
     assert(m("rows").asInstanceOf[Long] > 0L)
@@ -247,6 +254,18 @@ class GoldenSpec extends AnyFunSuite with BeforeAndAfterAll {
     val touched = after.keySet.filter(k => degradedState.get(k) != after.get(k))
     assert(touched === errorBuckets.map(b => s"bucket=$b"),
       s"rewrote $touched, expected exactly the error buckets $errorBuckets")
+    // FILE-granular: within the affected buckets, every pre-existing file
+    // that held no error rows survives byte-identical; the error files are
+    // gone (replaced by fresh UUID-named parts)
+    for (b <- touched) {
+      val beforeFiles = degradedState(b).map(f => f._1 -> f).toMap
+      val afterFiles = after(b).map(f => f._1 -> f).toMap
+      val survivors = beforeFiles.keySet.filterNot(errFiles)
+      assert(survivors.forall(s => afterFiles.get(s) == beforeFiles.get(s)),
+        s"non-error file changed in $b")
+      assert(beforeFiles.keySet.filter(errFiles).forall(!afterFiles.contains(_)),
+        s"error file not retired in $b")
+    }
     // lineage reconciles with a full recompute over the restored table
     val buckets = spark.read.parquet(s"$out/lineage_buckets")
       .orderBy("bucket").collect().toSeq
