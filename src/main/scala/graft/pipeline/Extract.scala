@@ -448,6 +448,37 @@ object Extract {
     metrics
   }
 
+  /** Table maintenance: compact a results dir (flat or bucket-partitioned)
+    * whose file count has grown through appends and re-parse passes — the
+    * plain-parquet analog of Iceberg's rewrite_data_files. Row content is
+    * preserved exactly and re-sorted to the (conv_id, turn_idx) run order
+    * (O1); lineage is untouched — the row set does not change, so the
+    * bucket invariant keeps holding (spec-asserted).
+    *
+    * Partitioned layout: one shuffle keyed on the bucket column leaves
+    * each bucket in exactly one task → one file per bucket dir. Flat
+    * layout: coalesce (no shuffle) down to `flatFiles` files.
+    */
+  def compactResults(spark: SparkSession, outDir: String,
+                     flatFiles: Int = 32, nBuckets: Int = 32): Unit = {
+    val resultsDir = s"$outDir/results"
+    val resultsPath = new org.apache.hadoop.fs.Path(resultsDir)
+    val fs = resultsPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val partitioned = isBucketPartitioned(fs, resultsPath)
+    val tmpDir = s"$outDir/results_compact_tmp"
+    if (partitioned)
+      spark.read.parquet(resultsDir)
+        .repartition(nBuckets, col("bucket"))
+        .sortWithinPartitions("conv_id", "turn_idx")
+        .write.partitionBy("bucket").mode("overwrite").parquet(tmpDir)
+    else
+      spark.read.parquet(resultsDir)
+        .coalesce(flatFiles)
+        .sortWithinPartitions("conv_id", "turn_idx")
+        .write.mode("overwrite").parquet(tmpDir)
+    swapInto(fs, new org.apache.hadoop.fs.Path(tmpDir), resultsPath)
+  }
+
   /** Fault-injection utility for exercising [[reparseErrors]]: degrade the
     * rows matching `pred` to the transient-error shape the extractor emits
     * (status='error', payload columns nulled, reason carried) and rewrite

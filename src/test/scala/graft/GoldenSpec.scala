@@ -272,6 +272,20 @@ class GoldenSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(buckets === Extract.bucketLineage(
         spark.read.parquet(s"$out/results").drop("bucket"))
       .orderBy("bucket").collect().toSeq)
+
+    // maintenance: compaction preserves rows + layout + lineage, one file
+    // per bucket afterwards (reparse replacements had grown the file count)
+    Extract.compactResults(spark, out)
+    assert(rows() === clean)
+    val compacted = bucketState()
+    assert(compacted.nonEmpty && compacted.values.forall(_.size === 1),
+      s"expected 1 file per bucket, got ${compacted.view.mapValues(_.size).toMap}")
+    assert(spark.read.parquet(s"$out/lineage_buckets")
+      .orderBy("bucket").collect().toSeq === buckets)
+    // and a subsequent resume still sees a consistent table (no heal, no
+    // re-extraction)
+    val mAfter = Extract.runCheckpointed(spark, "data/transcripts_t1", out)
+    assert(mAfter("rows").asInstanceOf[Long] === 0L)
   }
 
   test("incremental lineage merge equals a full recompute across increments") {
