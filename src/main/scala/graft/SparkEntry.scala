@@ -257,6 +257,9 @@ object SparkEntry {
     "doc_shared_paragraphs" -> ((s, dir) =>
       DocOps.sharedParagraphs(docs(s, dir)).orderBy("doc_id")),
 
+    // corpus top-k word frequencies (exact complement of doc_word_hll)
+    "doc_word_topk" -> ((s, dir) => DocOps.wordTopK(docs(s, dir))),
+
     // cluster-size histogram over the near-dup connected components — the
     // corpus-health view a dedup run reports (round 4)
     "doc_dedup_stats" -> ((s, dir) =>
@@ -536,6 +539,9 @@ object SparkEntry {
     // the same transitive closure, aggregated to the cluster-size histogram
     "doc_dedup_stats" ->
       s"""WITH RECURSIVE ${JaccardCte.stripPrefix("WITH ")}, edges AS (SELECT doc_a AS u, doc_b AS v FROM pairs UNION ALL SELECT doc_b AS u, doc_a AS v FROM pairs), reach AS (SELECT doc_id AS u, doc_id AS r FROM documents UNION SELECT e.v AS u, reach.r FROM reach JOIN edges e ON e.u = reach.u), keepers AS (SELECT u AS doc_id, min(r) AS keeper FROM reach GROUP BY u), clusters AS (SELECT keeper, CAST(count(*) AS BIGINT) AS cluster_size FROM keepers GROUP BY keeper) SELECT cluster_size, CAST(count(*) AS BIGINT) AS n_clusters FROM clusters GROUP BY cluster_size ORDER BY cluster_size""",
+
+    "doc_word_topk" ->
+      """SELECT w, CAST(count(*) AS BIGINT) AS n FROM (SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS w FROM documents) t WHERE length(w) > 0 GROUP BY w ORDER BY n DESC, w LIMIT 100""",
 
     // cross-doc shared paragraphs: the oracle groups by the raw paragraph
     // (the engine groups by md5 — same partition, collision-free)

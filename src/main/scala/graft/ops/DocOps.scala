@@ -330,6 +330,19 @@ object DocOps {
             col("line_chars").cast("double")))
   }
 
+  /** Corpus-level top-k word frequencies — the exact-count complement of
+    * the HLL distinct-word sketch. Scale shape: map-side partial counts
+    * shuffle (word, partial) pairs, then orderBy+limit plans as
+    * TakeOrderedAndProject (a tree-reduced per-partition top-k, never a
+    * single-partition global sort — plan-asserted). Ties break on the word
+    * so the ordering is total.
+    */
+  def wordTopK(docs: DataFrame, k: Int = 100): DataFrame =
+    docs.select(explode(split(trim(col("text")), "\\s+")).as("w"))
+      .where(length(col("w")) > 0)
+      .groupBy(col("w")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("w")).limit(k)
+
   /** Cross-doc shared-paragraph signal (the boilerplate analog of
     * paragraph-level training-data dedup): per doc, how many of its
     * paragraphs also occur in at least one OTHER doc. Catches sitewide

@@ -150,6 +150,16 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       .contains("Exchange"))
   }
 
+  test("word top-k: exact counts, total order, TakeOrdered plan (no global sort)") {
+    val s = spark
+    import s.implicits._
+    val d = Seq((1L, "a b b c c c"), (2L, "c a  a"), (3L, " ")).toDF("doc_id", "text")
+    val r = DocOps.wordTopK(d, 3).collect().map(x => (x.getString(0), x.getLong(1)))
+    assert(r.toSeq === Seq(("c", 4L), ("a", 3L), ("b", 2L)))
+    val plan = DocOps.wordTopK(d).queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+  }
+
   test("shared paragraphs: cross-doc boilerplate counted, text never shuffled") {
     val s = spark
     import s.implicits._
