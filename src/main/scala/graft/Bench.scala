@@ -202,16 +202,31 @@ object Bench {
     val coresLo = execsLo * coresPer
     val coresHi = execsHi * coresPer
     val replicate = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPLICATE", "12").toInt
-    val nRounds = sys.env.getOrElse("SPARK_GRAFT_BENCH_ROUNDS", "3").toInt
+    val nRounds = sys.env.getOrElse("SPARK_GRAFT_BENCH_ROUNDS", "5").toInt
     def tpsExec(execs: Int, cores: Int): Double =
       tpsInChildJvm(Seq("scalerunx", execs.toString, cores.toString, replicate.toString))
-    // interleaved (lo, hi) rounds; the primary estimator is BEST-PER-LEVEL:
-    // host noise only ever slows a run, so each level's max approaches its
-    // true capability and the max/max ratio is the least-biased efficiency.
-    // (A best same-round PAIR can overestimate — a slowed lo paired with a
-    // clean hi inflates the ratio — so round pairs are supplementary only.)
-    val rounds = (1 to nRounds).map { _ =>
-      (tpsExec(execsLo, coresPer), tpsExec(execsHi, coresPer))
+    // Drift-robust sampling (round 5): 5 interleaved (lo, hi) rounds with
+    // the WITHIN-round order alternating (lo,hi / hi,lo / ...) so both
+    // levels sample every host window symmetrically — with one fixed order
+    // a periodic slow window can systematically hit one level. The primary
+    // estimator is BEST-PER-LEVEL: host noise only ever slows a run, so
+    // each level's max approaches its true capability and the max/max
+    // ratio is the least-biased efficiency — PROVIDED each level has
+    // enough samples; round 4 measured 0.717 with 3 hi samples all in one
+    // degraded window while the engine's true ratio was 0.87+. 5 samples
+    // per level spread over ~10 min make that coincidence implausible, and
+    // the best SAME-ROUND pair is reported alongside as a cross-check (a
+    // pair shares one window, so a single bad window cannot drag it; it
+    // can OVERestimate when a slowed lo meets a clean hi, which is why it
+    // is the supplementary number, not the primary).
+    val rounds = (1 to nRounds).map { r =>
+      if (r % 2 == 1) {
+        val lo = tpsExec(execsLo, coresPer); val hi = tpsExec(execsHi, coresPer)
+        (lo, hi)
+      } else {
+        val hi = tpsExec(execsHi, coresPer); val lo = tpsExec(execsLo, coresPer)
+        (lo, hi)
+      }
     }
     val runsLo = rounds.map(_._1).filter(_ > 0)
     val runsHi = rounds.map(_._2).filter(_ > 0)
@@ -221,6 +236,7 @@ object Bench {
     val tpsLo = if (runsLo.nonEmpty) runsLo.max else 1.0
     val tpsHi = if (runsHi.nonEmpty) runsHi.max else 0.0
     val efficiency = (tpsHi / tpsLo) / (coresHi.toDouble / coresLo)
+    val effBestPair = if (roundEffs.nonEmpty) roundEffs.max else -1.0
     // secondary wide pair (2->8 executors, 4->16 cores) + saturation point
     // (8 executors x 4 cores = all 32 host cores), one round each
     val tpsLo2 = tpsExec(2, coresPer)
@@ -271,6 +287,16 @@ object Bench {
     // queries, then pass 2 over all — a bad host window degrades one
     // PASS, not one query's only sample), keep min per query. Pass 1
     // doubles as the JIT/codegen warmup for pass 2.
+    //
+    // Calibration probe (round 5, NOTES #3): before each pass, measure the
+    // host's current compute capacity with the same 1.5 s splitmix loop
+    // the hardware-ceiling check uses, and report NORMALIZED seconds
+    // (raw x measured/nominal) alongside raw — in a slow window the probe
+    // reads low and normalization scales the times down proportionally,
+    // so cross-window round-over-round deltas compare like-for-like. The
+    // nominal is this host's clean-window 32-thread rate (pinned constant,
+    // measured 1.8-2.1e10; normalization is relative, so the exact pin
+    // only shifts all rounds by one common factor).
     val suite = Seq[(String, () => DataFrame)](
       "doc_near_dups" -> (() => DocOps.nearDups(docsDf, 0.5)),
       "doc_simhash_pairs" -> (() => DocOps.simhashPairs(docsDf)),
@@ -284,19 +310,29 @@ object Bench {
       "doc_dedup_keepers" -> (() => DocOps.dedupKeepers(docsDf, 0.5)),
       "q1_agg" -> (() => SparkEntry.queries("q1_agg")(s1, sfDir)),
       "q3_join" -> (() => SparkEntry.queries("q3_join")(s1, sfDir)))
-    for (_ <- 1 to 2; (name, mk) <- suite) {
-      val t = time(mk().write.format("noop").mode("overwrite").save())._1
-      // drop op-internal persisted blocks (band/code tables) between runs
-      // so repeated calls in this long-lived session don't accumulate
-      graft.ops.CacheLedger.release()
-      queries(name) = math.min(queries.getOrElse(name, Double.MaxValue), t)
+    val NominalCal32 = 2.0e10 // clean-window 32-thread splitmix ops/sec
+    val queriesNorm = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    val calRates = scala.collection.mutable.ArrayBuffer.empty[Double]
+    for (_ <- 1 to 2) {
+      val cal = cpuRate(cpus)
+      calRates += cal
+      for ((name, mk) <- suite) {
+        val t = time(mk().write.format("noop").mode("overwrite").save())._1
+        // drop op-internal persisted blocks (band/code tables) between runs
+        // so repeated calls in this long-lived session don't accumulate
+        graft.ops.CacheLedger.release()
+        queries(name) = math.min(queries.getOrElse(name, Double.MaxValue), t)
+        queriesNorm(name) = math.min(
+          queriesNorm.getOrElse(name, Double.MaxValue), t * cal / NominalCal32)
+      }
     }
     s1.stop()
 
     val totalSec = queries.values.sum
     val qJson = queries.map { case (k, v) => f""""$k":$v%.3f""" }.mkString("{", ",", "}")
+    val qnJson = queriesNorm.map { case (k, v) => f""""$k":$v%.3f""" }.mkString("{", ",", "}")
     val line =
-      f"""{"metric":"turns_per_sec","value":${nTurns / tExtract}%.1f,"unit":"turns/sec","total_sec":$totalSec%.2f,"queries":$qJson,"sf":"$sfDir","n_turns":$nTurns,"scaling":{"mode":"executor-processes (local-cluster)","cores_per_executor":$coresPer,"execs_lo":$execsLo,"execs_hi":$execsHi,"cores_lo":$coresLo,"cores_hi":$coresHi,"tps_lo":$tpsLo%.1f,"tps_hi":$tpsHi%.1f,"efficiency":$efficiency%.3f,"round_efficiencies":${roundEffs.map(v => f"$v%.3f").mkString("[", ",", "]")},"hw_ceiling":$hwCeiling%.3f,"efficiency_vs_ceiling":${efficiency / hwCeiling}%.3f,"runs_lo":${runsLo.map(v => f"$v%.1f").mkString("[", ",", "]")},"runs_hi":${runsHi.map(v => f"$v%.1f").mkString("[", ",", "]")},"secondary_pair":{"execs_lo":2,"execs_hi":8,"cores_lo":${2 * coresPer},"cores_hi":${8 * coresPer},"tps_lo":$tpsLo2%.1f,"tps_hi":$tpsHi2%.1f,"efficiency":$efficiency2%.3f},"saturation_tps_32core":$tpsSat32%.1f,"scaled_turns":${nTurns.toLong * replicate}}}"""
+      f"""{"metric":"turns_per_sec","value":${nTurns / tExtract}%.1f,"unit":"turns/sec","total_sec":$totalSec%.2f,"queries":$qJson,"queries_norm":$qnJson,"calibration":{"nominal_ops32":$NominalCal32%.3e,"pass_rates":${calRates.map(v => f"$v%.3e").mkString("[", ",", "]")}},"sf":"$sfDir","n_turns":$nTurns,"scaling":{"mode":"executor-processes (local-cluster)","cores_per_executor":$coresPer,"execs_lo":$execsLo,"execs_hi":$execsHi,"cores_lo":$coresLo,"cores_hi":$coresHi,"tps_lo":$tpsLo%.1f,"tps_hi":$tpsHi%.1f,"efficiency":$efficiency%.3f,"efficiency_best_pair":$effBestPair%.3f,"round_efficiencies":${roundEffs.map(v => f"$v%.3f").mkString("[", ",", "]")},"hw_ceiling":$hwCeiling%.3f,"efficiency_vs_ceiling":${efficiency / hwCeiling}%.3f,"runs_lo":${runsLo.map(v => f"$v%.1f").mkString("[", ",", "]")},"runs_hi":${runsHi.map(v => f"$v%.1f").mkString("[", ",", "]")},"secondary_pair":{"execs_lo":2,"execs_hi":8,"cores_lo":${2 * coresPer},"cores_hi":${8 * coresPer},"tps_lo":$tpsLo2%.1f,"tps_hi":$tpsHi2%.1f,"efficiency":$efficiency2%.3f},"saturation_tps_32core":$tpsSat32%.1f,"scaled_turns":${nTurns.toLong * replicate}}}"""
     println(line)
     // belt-and-braces: the driver parses stdout; also drop the line to a file
     val benchFile = java.nio.file.Paths.get(s"$RepoRoot/BENCH_LOCAL.json")
