@@ -336,7 +336,7 @@ object SparkEntry {
         pmod(xxhash64(col("conv_id"), col("turn_idx")), lit(9)) === 0)
       require(n > 0L, "error injection selected no rows")
       Extract.reparseErrors(s, TranscriptsT2, out)
-      s.read.parquet(s"$out/results").drop("bucket").as[pipeline.TurnResult]
+      Extract.readResults(s, out).drop("bucket").as[pipeline.TurnResult]
         .map(r => (r.conv_id, r.turn_idx, r.input_width, r.input_height,
           r.cells_json, r.md, r.md_nohf, r.filtered, ResultJson.spansJson(r.spans)))
         .toDF("conv_id", "turn_idx", "input_width", "input_height",

@@ -174,20 +174,95 @@ object Extract {
     pmod(conv(substring(md5(c), 1, 15), 16, 10).cast("long"),
       lit(nBuckets.toLong)).cast("int")
 
-  /** Replace `dst` with `src` via delete + rename, FAILING LOUDLY when the
-    * filesystem reports failure: Hadoop's delete/rename signal errors via
-    * their Boolean return, and ignoring them after the live dir was deleted
-    * would silently destroy data while lineage gets patched as if the swap
-    * happened.
+  /** Manifest-aware read of a results table (plain dir when no manifest —
+    * see [[SnapshotStore]]). All internal readers resolve through this, so
+    * maintenance ops' pre-commit file movements are never observed.
     */
-  private def swapInto(fs: org.apache.hadoop.fs.FileSystem,
-                       src: org.apache.hadoop.fs.Path,
-                       dst: org.apache.hadoop.fs.Path): Unit = {
-    if (fs.exists(dst) && !fs.delete(dst, true))
-      throw new IllegalStateException(s"could not delete $dst before swap")
-    if (!fs.rename(src, dst))
-      throw new IllegalStateException(
-        s"rename $src -> $dst failed; source data preserved at $src")
+  def readResults(spark: SparkSession, outDir: String): DataFrame =
+    SnapshotStore.read(spark, s"$outDir/results")
+
+  /** Marker signalling "results were swapped but the lineage patch has not
+    * completed" — created by [[reparseErrors]] immediately before its
+    * snapshot commit and cleared only after both lineage tables are
+    * patched. Its presence at the start of any run means lineage is
+    * (possibly) stale in ways the rows_out invariant cannot see — reparse
+    * preserves the key set, so filtered/error/md_chars can drift while
+    * rows_out stays exact — and forces a full lineage heal.
+    */
+  private def lineageMarker(outDir: String): org.apache.hadoop.fs.Path =
+    new org.apache.hadoop.fs.Path(s"$outDir/_lineage_patch_pending")
+
+  /** Recompute both lineage tables from the live results (run_id stamped 0
+    * — the heal discards per-run history, keeping the auditable content
+    * lineage exact).
+    */
+  private def healLineage(spark: SparkSession, outDir: String): Unit = {
+    val all = readResults(spark, outDir)
+    val healedBuckets = bucketLineage(all).localCheckpoint(true)
+    healedBuckets.write.mode("overwrite").parquet(s"$outDir/lineage_buckets")
+    healedBuckets.unpersist(blocking = false)
+    val healedParts = partitionLineage(all).withColumn("run_id", lit(0L))
+      .localCheckpoint(true)
+    healedParts.write.mode("overwrite").parquet(s"$outDir/lineage")
+    healedParts.unpersist(blocking = false)
+  }
+
+  /** Move every part-file from `srcDir` into `dstDir` (fresh UUID names —
+    * collisions impossible), returning the qualified destination paths for
+    * the snapshot commit. Rename failures throw: at this stage nothing has
+    * been committed, so the table is untouched.
+    */
+  private def movePartsCollect(fs: org.apache.hadoop.fs.FileSystem,
+                               srcDir: org.apache.hadoop.fs.Path,
+                               dstDir: org.apache.hadoop.fs.Path): Seq[String] = {
+    if (!fs.exists(dstDir) && !fs.mkdirs(dstDir))
+      throw new IllegalStateException(s"could not create $dstDir")
+    fs.listStatus(srcDir)
+      .filter(s => s.isFile && s.getPath.getName.startsWith("part-")).toSeq
+      .map { s =>
+        val dst = new org.apache.hadoop.fs.Path(dstDir, s.getPath.getName)
+        if (!fs.rename(s.getPath, dst))
+          throw new IllegalStateException(s"rename ${s.getPath} -> $dst failed")
+        SnapshotStore.qualify(fs, dst.toString)
+      }
+  }
+
+  /** Move a staged rewrite (flat part-files, or bucket=N subdirs) into the
+    * results dir, preserving layout; returns the moved files' paths.
+    */
+  private def moveStaged(fs: org.apache.hadoop.fs.FileSystem,
+                         tmpPath: org.apache.hadoop.fs.Path,
+                         resultsPath: org.apache.hadoop.fs.Path,
+                         partitioned: Boolean): Seq[String] =
+    if (partitioned)
+      fs.listStatus(tmpPath)
+        .filter(s => s.isDirectory && s.getPath.getName.startsWith("bucket="))
+        .toSeq.flatMap(d => movePartsCollect(fs, d.getPath,
+          new org.apache.hadoop.fs.Path(resultsPath, d.getPath.getName)))
+    else movePartsCollect(fs, tmpPath, resultsPath)
+
+  /** Whole-table rewrite through the snapshot protocol: stage in `tmpPath`
+    * (already written), bootstrap a manifest over the CURRENT physical
+    * files if none exists (so a crash mid-move leaves readers on the old
+    * consistent snapshot, never a half-populated dir), move the staged
+    * files in, commit the new snapshot, then sweep every data file not in
+    * it (the replaced files plus any orphans earlier crashes left).
+    */
+  private def commitRewrite(fs: org.apache.hadoop.fs.FileSystem,
+                            tmpPath: org.apache.hadoop.fs.Path,
+                            resultsPath: org.apache.hadoop.fs.Path,
+                            partitioned: Boolean): Unit = {
+    SnapshotStore.bootstrap(fs, resultsPath,
+      listDataFiles(fs, resultsPath).toSeq.sorted)
+    val moved = moveStaged(fs, tmpPath, resultsPath, partitioned)
+    SnapshotStore.commit(fs, resultsPath, moved)
+    val keep = moved.toSet
+    (listDataFiles(fs, resultsPath) -- keep).foreach { f =>
+      val p = new org.apache.hadoop.fs.Path(f)
+      if (!fs.delete(p, false))
+        System.err.println(s"[graft] WARN: could not retire $p; orphan is " +
+          "invisible through the manifest and will be swept by compaction")
+    }
   }
 
   /** Does a results dir use the bucket-partitioned layout? */
@@ -241,20 +316,29 @@ object Extract {
     // legitimately exceed the row count once reparseErrors has appended a
     // re-parse batch)
     val healNeeded = existed && {
-      if (!fs.exists(bucketsPath) || !fs.exists(lineagePath)) true
+      if (fs.exists(lineageMarker(outDir))) true // crashed mid-reparse:
+      // results already swapped, lineage patch incomplete — the bucket
+      // invariant below CANNOT catch this (reparse preserves the key set,
+      // so rows_out is unchanged while filtered/error/md_chars are stale)
+      else if (!fs.exists(bucketsPath) || !fs.exists(lineagePath)) true
+      else if (!spark.read.parquet(s"$outDir/lineage").columns.contains("run_id"))
+        true // pre-run_id lineage table (older layout): heal stamps run_id 0
       else {
-        val resultCount = spark.read.parquet(s"$outDir/results").count()
+        val resultCount = readResults(spark, outDir).count()
         val bucketsSum = spark.read.parquet(s"$outDir/lineage_buckets")
           .agg(coalesce(sum(col("rows_out")), lit(0L))).collect()(0).getLong(0)
         bucketsSum != resultCount
       }
     }
     val remaining =
-      if (existed) resumeFrom(turns, spark.read.parquet(s"$outDir/results"))
+      if (existed) resumeFrom(turns, readResults(spark, outDir))
       else turns
     val (df, obs) = withObservedMetrics(
       extract(remaining).sortWithinPartitions("conv_id", "turn_idx"))
     val before = dataFiles()
+    // the live set per the manifest, when the table carries one: crash
+    // orphans may exist physically but must not enter the next snapshot
+    val liveBefore = SnapshotStore.liveFiles(fs, resultsPath)
     // bucket-partitioned layout (opt-in): conv_id-hash dirs let the error
     // re-parse pass overwrite only AFFECTED buckets (partition-granular —
     // the plain-parquet stand-in for Iceberg's row-level MERGE). Tradeoff:
@@ -268,18 +352,18 @@ object Extract {
     val metrics = obs.get.map { case (k, v) => k -> v }
     val incRows = metrics.getOrElse("rows", 0L).asInstanceOf[Long]
     val newFiles = (dataFiles() -- before).toSeq.sorted
+    // a manifest-carrying table folds the appended files into a new
+    // snapshot (manifest-less tables stay plain — the manifest appears
+    // lazily with the first maintenance op)
+    liveBefore.foreach { live =>
+      if (newFiles.nonEmpty) SnapshotStore.commit(fs, resultsPath, live ++ newFiles)
+    }
     if (healNeeded) {
       // stale/missing lineage detected (crashed previous run): recompute
       // both tables from the full results table — the pre-round-4 shape,
       // run only when the incremental invariant is broken
-      val all = spark.read.parquet(s"$outDir/results")
-      val healedBuckets = bucketLineage(all).localCheckpoint(true)
-      healedBuckets.write.mode("overwrite").parquet(s"$outDir/lineage_buckets")
-      healedBuckets.unpersist(blocking = false)
-      val healedParts = partitionLineage(all).withColumn("run_id", lit(0L))
-        .localCheckpoint(true)
-      healedParts.write.mode("overwrite").parquet(s"$outDir/lineage")
-      healedParts.unpersist(blocking = false)
+      healLineage(spark, outDir)
+      fs.delete(lineageMarker(outDir), false) // cleared only after the heal
     } else if (incRows > 0L && newFiles.nonEmpty) {
       // the increment, re-read from only this run's files (column-pruned
       // to the 4 lineage columns by the aggregates below)
@@ -330,24 +414,48 @@ object Extract {
     * part-files that contain error rows (identified by input_file_name()
     * during the same pruned scan that finds the error keys) are retired
     * and replaced; every other file survives byte-identical
-    * (spec-asserted). This matches Iceberg MERGE's I/O granularity; the
-    * remaining gap is transactionality — Iceberg commits the file swap as
-    * one atomic snapshot, while here the per-file delete+rename window is
-    * non-atomic (COVERAGE.md declared divergence). Replacement files
-    * accumulate per pass; compaction is a separate concern, as it is for
-    * Iceberg. Assumes every error key still exists in the transcripts
+    * (spec-asserted). This matches Iceberg MERGE's I/O granularity.
+    * Transactionality (round 5): the swap commits through the
+    * [[SnapshotStore]] manifest — replacements move in under fresh names,
+    * ONE manifest rename publishes the new file set, and retired files are
+    * deleted only after the commit, so manifest-resolving readers observe
+    * either the old or the new table, never a mix (COVERAGE.md divergence
+    * #2 is thereby narrowed to concurrent-writer arbitration). Replacement
+    * files accumulate per pass; compaction is a separate concern, as it is
+    * for Iceberg — [[compactResults]] also sweeps any orphans a crashed
+    * pass left. Assumes every error key still exists in the transcripts
     * table (true here by construction: error rows originate from it).
+    *
+    * Driver-list guard (round 5): the error-file list is collected on the
+    * driver — control-plane-sized at realistic error rates, but a SYSTEMIC
+    * payload bug could smear errors across every file, degenerating the
+    * "file-granular" rewrite into a full-table rewrite driven through a
+    * driver-held array and a per-file delete loop. When error files exceed
+    * half the live set, fall back to an explicit whole-table rewrite
+    * (`rewrite_mode` = "full" in the returned metrics, with a log line);
+    * the lineage delta patch is granularity-independent either way.
     */
   def reparseErrors(spark: SparkSession, transcriptsPath: String,
                     outDir: String): Map[String, Any] = {
     val resultsDir = s"$outDir/results"
-    val results = spark.read.parquet(resultsDir)
-    val errKeys = results.where(col("status") === "error")
-      .select("conv_id", "turn_idx")
-    if (errKeys.limit(1).count() == 0L) return Map("rows" -> 0L)
-
     val resultsPath = new org.apache.hadoop.fs.Path(resultsDir)
     val fs = resultsPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val marker = lineageMarker(outDir)
+    // a crashed previous pass (marker present) or a pre-run_id lineage
+    // table: heal BEFORE taking deltas against it
+    val lineagePath = new org.apache.hadoop.fs.Path(s"$outDir/lineage")
+    if (fs.exists(marker) ||
+        (fs.exists(lineagePath) &&
+          !spark.read.parquet(s"$outDir/lineage").columns.contains("run_id"))) {
+      healLineage(spark, outDir)
+      fs.delete(marker, false)
+    }
+    val results = readResults(spark, outDir)
+    val errKeys = results.where(col("status") === "error")
+      .select("conv_id", "turn_idx")
+    if (errKeys.limit(1).count() == 0L)
+      return Map("rows" -> 0L, "rewrite_mode" -> "none")
+
     // layout detection: bucket=N partition dirs present?
     val partitioned = isBucketPartitioned(fs, resultsPath)
 
@@ -358,94 +466,111 @@ object Extract {
         col("error_rows").as("e_old"), col("md_chars").as("m_old"))
       .localCheckpoint(true)
 
-    // re-extract exactly the error keys; materialize the increment to its
-    // own dir so the merge, the lineage delta, and the partition-lineage
-    // batch all read it without re-running extraction
     val incDir = s"$outDir/results_reparse_inc"
-    import spark.implicits._
-    val turnsErr = readTranscripts(spark, transcriptsPath).toDF()
-      .join(errKeys, Seq("conv_id", "turn_idx"), "left_semi").as[Turn]
-    val (incDf, obs) = withObservedMetrics(
-      extract(turnsErr).sortWithinPartitions("conv_id", "turn_idx"))
-    incDf.write.mode("overwrite").parquet(incDir)
-    val metrics = obs.get.map { case (k, v) => k -> v }
-    val inc = spark.read.parquet(incDir)
-
-    // merge-by-key, FILE-granular (see Scaladoc scale note): only the
-    // part-files that actually CONTAIN error rows are rewritten —
-    // input_file_name() identifies them exactly during the same pruned
-    // scan that found the error keys, with no footer-stats machinery.
-    // Untouched files (the vast majority at corpus scale) survive
-    // byte-identical in both layouts.
-    val errFiles = results
-      .withColumn("__f", input_file_name())
-      .where(col("status") === "error")
-      .select("__f").distinct().collect().map(_.getString(0))
     val tmpDir = s"$outDir/results_reparse_tmp"
-    val kept = spark.read.parquet(errFiles: _*).where(col("status") =!= "error")
-    if (partitioned)
-      // the bucket partition column is path-carried, not file-carried:
-      // recompute it for routing (equals each row's source dir value by
-      // construction of the layout)
-      kept.withColumn("bucket", bucketCol(col("conv_id")))
-        .unionByName(inc.withColumn("bucket", bucketCol(col("conv_id"))))
-        .write.partitionBy("bucket").mode("overwrite").parquet(tmpDir)
-    else kept.unionByName(inc).write.mode("overwrite").parquet(tmpDir)
-    // tmp is fully materialized; now retire the error files and move the
-    // replacements in (UUID part names cannot collide), failing loudly on
-    // any filesystem refusal
-    errFiles.foreach { f =>
-      val p = new org.apache.hadoop.fs.Path(f)
-      if (!fs.delete(p, false))
-        throw new IllegalStateException(s"could not delete error file $p")
-    }
-    def moveParts(srcDir: org.apache.hadoop.fs.Path,
-                  dstDir: org.apache.hadoop.fs.Path): Unit = {
-      fs.mkdirs(dstDir)
-      fs.listStatus(srcDir)
-        .filter(s => s.isFile && s.getPath.getName.startsWith("part-"))
-        .foreach { s =>
-          val dst = new org.apache.hadoop.fs.Path(dstDir, s.getPath.getName)
-          if (!fs.rename(s.getPath, dst))
-            throw new IllegalStateException(s"rename ${s.getPath} -> $dst failed")
-        }
-    }
+    val incPath = new org.apache.hadoop.fs.Path(incDir)
     val tmpPath = new org.apache.hadoop.fs.Path(tmpDir)
-    if (partitioned)
-      fs.listStatus(tmpPath)
-        .filter(s => s.isDirectory && s.getPath.getName.startsWith("bucket="))
-        .foreach(d => moveParts(d.getPath,
-          new org.apache.hadoop.fs.Path(resultsDir, d.getPath.getName)))
-    else moveParts(tmpPath, resultsPath)
-    fs.delete(tmpPath, true)
+    // scratch dirs are fully re-derivable: clear any leftovers from a
+    // crashed pass up front, and always clean up on exit (success or not)
+    try {
+      fs.delete(incPath, true); fs.delete(tmpPath, true)
 
-    // bucket-lineage delta patch: only the three content sums move
-    val newAgg = bucketLineage(inc)
-      .select(col("bucket"), col("filtered_rows").as("f_new"),
-        col("error_rows").as("e_new"), col("md_chars").as("m_new"))
-    val patched = spark.read.parquet(s"$outDir/lineage_buckets")
-      .join(oldAgg, Seq("bucket"), "left")
-      .join(newAgg, Seq("bucket"), "left")
-      .select(col("bucket"),
-        col("rows_out"),
-        (col("filtered_rows") - coalesce(col("f_old"), lit(0L)) +
-          coalesce(col("f_new"), lit(0L))).as("filtered_rows"),
-        (col("error_rows") - coalesce(col("e_old"), lit(0L)) +
-          coalesce(col("e_new"), lit(0L))).as("error_rows"),
-        (col("md_chars") - coalesce(col("m_old"), lit(0L)) +
-          coalesce(col("m_new"), lit(0L))).as("md_chars"),
-        col("min_conv_id"), col("max_conv_id"))
-      .localCheckpoint(true)
-    patched.write.mode("overwrite").parquet(s"$outDir/lineage_buckets")
-    patched.unpersist(blocking = false)
-    oldAgg.unpersist(blocking = false)
+      // re-extract exactly the error keys; materialize the increment to
+      // its own dir so the merge, the lineage delta, and the
+      // partition-lineage batch all read it without re-running extraction
+      import spark.implicits._
+      val turnsErr = readTranscripts(spark, transcriptsPath).toDF()
+        .join(errKeys, Seq("conv_id", "turn_idx"), "left_semi").as[Turn]
+      val (incDf, obs) = withObservedMetrics(
+        extract(turnsErr).sortWithinPartitions("conv_id", "turn_idx"))
+      incDf.write.mode("overwrite").parquet(incDir)
+      val metrics = obs.get.map { case (k, v) => k -> v }
+      val inc = spark.read.parquet(incDir)
 
-    val runId = spark.read.parquet(s"$outDir/lineage")
-      .agg(coalesce(max(col("run_id")), lit(-1L))).collect()(0).getLong(0) + 1L
-    partitionLineage(inc).withColumn("run_id", lit(runId))
-      .write.mode("append").parquet(s"$outDir/lineage")
-    fs.delete(new org.apache.hadoop.fs.Path(incDir), true)
-    metrics
+      // manifest bootstrap BEFORE any file moves: from here on, readers
+      // resolve through a committed snapshot, so nothing below is visible
+      // until the commit
+      val live = SnapshotStore.bootstrap(fs, resultsPath,
+        listDataFiles(fs, resultsPath).toSeq.sorted).toSet
+
+      // merge-by-key, FILE-granular (see Scaladoc scale note): only the
+      // part-files that actually CONTAIN error rows are rewritten —
+      // input_file_name() identifies them exactly during the same pruned
+      // scan that found the error keys, with no footer-stats machinery.
+      val errFiles = results
+        .withColumn("__f", input_file_name())
+        .where(col("status") === "error")
+        .select("__f").distinct().collect()
+        .map(r => SnapshotStore.qualify(fs, r.getString(0))).toSet
+      val fullRewrite = errFiles.size * 2 > live.size
+      if (fullRewrite)
+        System.err.println(s"[graft] reparse: ${errFiles.size} of " +
+          s"${live.size} files contain errors — falling back from " +
+          "file-granular to whole-table rewrite")
+
+      // the survivors: non-error rows of the affected files (file-granular)
+      // or of the whole table (fallback); partition columns are path-
+      // carried, so the bucket is recomputed for routing either way
+      val keptSrc =
+        if (fullRewrite) results.drop("bucket")
+        else spark.read.parquet(errFiles.toSeq.sorted: _*)
+      val kept = keptSrc.where(col("status") =!= "error")
+      if (partitioned)
+        kept.withColumn("bucket", bucketCol(col("conv_id")))
+          .unionByName(inc.withColumn("bucket", bucketCol(col("conv_id"))))
+          .write.partitionBy("bucket").mode("overwrite").parquet(tmpDir)
+      else kept.unionByName(inc).write.mode("overwrite").parquet(tmpDir)
+
+      // tmp fully materialized: move replacements in (fresh UUID names),
+      // then COMMIT — the one atomic step. The marker goes down first so a
+      // crash after the commit but before the lineage patch forces a heal.
+      val moved = moveStaged(fs, tmpPath, resultsPath, partitioned)
+      fs.create(marker, true).close()
+      val newLive =
+        if (fullRewrite) moved.toSet else (live -- errFiles) ++ moved
+      SnapshotStore.commit(fs, resultsPath, newLive.toSeq)
+      // retire replaced files (post-commit: a failed delete leaves an
+      // orphan readers never see; compaction sweeps it)
+      val retired = if (fullRewrite) live else errFiles
+      retired.foreach { f =>
+        val p = new org.apache.hadoop.fs.Path(f)
+        if (!fs.delete(p, false))
+          System.err.println(s"[graft] WARN: could not retire $p; orphan " +
+            "is invisible through the manifest and will be swept by compaction")
+      }
+
+      // bucket-lineage delta patch: only the three content sums move
+      val newAgg = bucketLineage(inc)
+        .select(col("bucket"), col("filtered_rows").as("f_new"),
+          col("error_rows").as("e_new"), col("md_chars").as("m_new"))
+      val patched = spark.read.parquet(s"$outDir/lineage_buckets")
+        .join(oldAgg, Seq("bucket"), "left")
+        .join(newAgg, Seq("bucket"), "left")
+        .select(col("bucket"),
+          col("rows_out"),
+          (col("filtered_rows") - coalesce(col("f_old"), lit(0L)) +
+            coalesce(col("f_new"), lit(0L))).as("filtered_rows"),
+          (col("error_rows") - coalesce(col("e_old"), lit(0L)) +
+            coalesce(col("e_new"), lit(0L))).as("error_rows"),
+          (col("md_chars") - coalesce(col("m_old"), lit(0L)) +
+            coalesce(col("m_new"), lit(0L))).as("md_chars"),
+          col("min_conv_id"), col("max_conv_id"))
+        .localCheckpoint(true)
+      patched.write.mode("overwrite").parquet(s"$outDir/lineage_buckets")
+      patched.unpersist(blocking = false)
+      oldAgg.unpersist(blocking = false)
+
+      val runId = spark.read.parquet(s"$outDir/lineage")
+        .agg(coalesce(max(col("run_id")), lit(-1L))).collect()(0).getLong(0) + 1L
+      partitionLineage(inc).withColumn("run_id", lit(runId))
+        .write.mode("append").parquet(s"$outDir/lineage")
+      // lineage consistent again: clear the heal marker
+      fs.delete(marker, false)
+      metrics + ("rewrite_mode" ->
+        (if (fullRewrite) "full" else "file_granular"))
+    } finally {
+      fs.delete(incPath, true); fs.delete(tmpPath, true)
+    }
   }
 
   /** Table maintenance: compact a results dir (flat or bucket-partitioned)
@@ -458,6 +583,12 @@ object Extract {
     * Partitioned layout: one shuffle keyed on the bucket column leaves
     * each bucket in exactly one task → one file per bucket dir. Flat
     * layout: coalesce (no shuffle) down to `flatFiles` files.
+    *
+    * Commits through the [[SnapshotStore]] manifest (round 5): the rewrite
+    * is staged, moved in under fresh names, published by one manifest
+    * rename, and only then are the old files — plus any orphans earlier
+    * crashed maintenance passes left — swept. No step deletes live data
+    * before the replacement is committed.
     */
   def compactResults(spark: SparkSession, outDir: String,
                      flatFiles: Int = 32, nBuckets: Int = 32): Unit = {
@@ -466,17 +597,20 @@ object Extract {
     val fs = resultsPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val partitioned = isBucketPartitioned(fs, resultsPath)
     val tmpDir = s"$outDir/results_compact_tmp"
-    if (partitioned)
-      spark.read.parquet(resultsDir)
-        .repartition(nBuckets, col("bucket"))
-        .sortWithinPartitions("conv_id", "turn_idx")
-        .write.partitionBy("bucket").mode("overwrite").parquet(tmpDir)
-    else
-      spark.read.parquet(resultsDir)
-        .coalesce(flatFiles)
-        .sortWithinPartitions("conv_id", "turn_idx")
-        .write.mode("overwrite").parquet(tmpDir)
-    swapInto(fs, new org.apache.hadoop.fs.Path(tmpDir), resultsPath)
+    val tmpPath = new org.apache.hadoop.fs.Path(tmpDir)
+    try {
+      fs.delete(tmpPath, true) // leftover from a crashed pass: re-derivable
+      val src = readResults(spark, outDir)
+      if (partitioned)
+        src.repartition(nBuckets, col("bucket"))
+          .sortWithinPartitions("conv_id", "turn_idx")
+          .write.partitionBy("bucket").mode("overwrite").parquet(tmpDir)
+      else
+        src.coalesce(flatFiles)
+          .sortWithinPartitions("conv_id", "turn_idx")
+          .write.mode("overwrite").parquet(tmpDir)
+      commitRewrite(fs, tmpPath, resultsPath, partitioned)
+    } finally fs.delete(tmpPath, true)
   }
 
   /** Fault-injection utility for exercising [[reparseErrors]]: degrade the
@@ -491,7 +625,7 @@ object Extract {
     val resultsDir = s"$outDir/results"
     val resultsPath = new org.apache.hadoop.fs.Path(resultsDir)
     val fs = resultsPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val results = spark.read.parquet(resultsDir)
+    val results = readResults(spark, outDir)
     val degraded = results.select(
       col("conv_id"), col("turn_idx"), col("role"), col("tool"),
       col("orig_width"), col("orig_height"),
@@ -509,17 +643,18 @@ object Extract {
       col("clean_ops"))
     val nInjected = results.where(pred).count()
     val tmpDir = s"$outDir/results_inject_tmp"
-    // preserve the table layout (flat or bucket-partitioned)
-    if (results.columns.contains("bucket"))
-      degraded.withColumn("bucket", bucketCol(col("conv_id")))
-        .write.partitionBy("bucket").mode("overwrite").parquet(tmpDir)
-    else degraded.write.mode("overwrite").parquet(tmpDir)
-    swapInto(fs, new org.apache.hadoop.fs.Path(tmpDir), resultsPath)
-    val all = spark.read.parquet(resultsDir)
-    bucketLineage(all).localCheckpoint(true)
-      .write.mode("overwrite").parquet(s"$outDir/lineage_buckets")
-    partitionLineage(all).withColumn("run_id", lit(0L))
-      .write.mode("overwrite").parquet(s"$outDir/lineage")
+    val tmpPath = new org.apache.hadoop.fs.Path(tmpDir)
+    val partitioned = results.columns.contains("bucket")
+    try {
+      fs.delete(tmpPath, true)
+      // preserve the table layout (flat or bucket-partitioned)
+      if (partitioned)
+        degraded.withColumn("bucket", bucketCol(col("conv_id")))
+          .write.partitionBy("bucket").mode("overwrite").parquet(tmpDir)
+      else degraded.write.mode("overwrite").parquet(tmpDir)
+      commitRewrite(fs, tmpPath, resultsPath, partitioned)
+    } finally fs.delete(tmpPath, true)
+    healLineage(spark, outDir)
     nInjected
   }
 

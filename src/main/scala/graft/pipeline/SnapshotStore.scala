@@ -1,0 +1,131 @@
+package graft.pipeline
+
+import java.nio.charset.StandardCharsets.UTF_8
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Poor-man's snapshot manifests for a results table — the plain-parquet
+  * stand-in for Iceberg's atomic snapshot commit (COVERAGE.md divergence #2,
+  * narrowed by this to concurrent-writer arbitration only).
+  *
+  * Protocol:
+  *  - A table MAY carry a manifest dir `results/_manifests` holding
+  *    `snap-<id>.txt` files, each listing the table's live part-files
+  *    (paths relative to the results dir, sorted). The leading underscore
+  *    keeps the dir invisible to Spark/Hive file listings, so a table AT
+  *    REST stays readable by any plain parquet reader.
+  *  - The CURRENT snapshot is the highest id. Committing = write
+  *    `snap-<id+1>.txt.tmp`, then ONE `rename` to `snap-<id+1>.txt` — the
+  *    rename is the commit point (atomic on HDFS and on local FS; on S3 an
+  *    Iceberg-style catalog swap would replace it, which is exactly the
+  *    part Iceberg provides and this stand-in declares away).
+  *  - Writers NEVER delete before committing: replacement files are moved
+  *    in under fresh UUID names, the new snapshot is committed, and only
+  *    then are retired files deleted (best-effort — a crash or failed
+  *    delete leaves ORPHANS, which manifest-resolving readers never see
+  *    and which the next [[Extract.compactResults]] sweeps).
+  *  - Readers resolve through [[read]]: manifest present → exactly the
+  *    listed files (with basePath so a bucket-partitioned layout keeps its
+  *    partition column); absent → plain directory read. A reader therefore
+  *    observes either the pre-commit or the post-commit table, never a
+  *    half-swapped one (spec-asserted in SnapshotSpec).
+  */
+object SnapshotStore {
+
+  private val ManifestDirName = "_manifests"
+  private val SnapRe = "snap-(\\d{9})\\.txt".r
+
+  def manifestDir(results: Path): Path = new Path(results, ManifestDirName)
+
+  /** Qualified canonical form of a path string (so set algebra over file
+    * lists from different sources — listFiles, input_file_name, manifest
+    * resolution — compares equal strings).
+    */
+  def qualify(fs: FileSystem, f: String): String =
+    fs.makeQualified(new Path(f)).toString
+
+  /** (id, path) of the current snapshot, if the table carries a manifest.
+    * `.tmp` leftovers from a crashed commit are ignored (never the current
+    * snapshot) and harmless: the next commit overwrites its own tmp name.
+    */
+  def currentSnapshot(fs: FileSystem, results: Path): Option[(Long, Path)] = {
+    val dir = manifestDir(results)
+    if (!fs.exists(dir)) return None
+    val snaps = fs.listStatus(dir).toSeq.flatMap { s =>
+      s.getPath.getName match {
+        case SnapRe(id) => Some((id.toLong, s.getPath))
+        case _ => None
+      }
+    }
+    if (snaps.isEmpty) None else Some(snaps.maxBy(_._1))
+  }
+
+  /** The table's live data files (qualified absolute paths) per the current
+    * snapshot; None when the table has no manifest (plain-dir mode).
+    */
+  def liveFiles(fs: FileSystem, results: Path): Option[Seq[String]] =
+    currentSnapshot(fs, results).map { case (_, p) =>
+      val in = fs.open(p)
+      val content = try new String(in.readAllBytes(), UTF_8) finally in.close()
+      content.linesIterator.filter(_.nonEmpty)
+        .map(rel => qualify(fs, new Path(results, rel).toString)).toSeq
+    }
+
+  private def relativize(fs: FileSystem, results: Path, f: String): String = {
+    val root = fs.makeQualified(results).toString
+    val q = qualify(fs, f)
+    require(q.startsWith(root + "/"), s"data file $f not under $results")
+    q.substring(root.length + 1)
+  }
+
+  /** Atomically commit a new snapshot listing exactly `files`. Returns the
+    * new snapshot id. The single rename is the commit point — every step
+    * before it is invisible to readers, every step after it is recovery.
+    */
+  def commit(fs: FileSystem, results: Path, files: Seq[String]): Long = {
+    val dir = manifestDir(results)
+    if (!fs.exists(dir) && !fs.mkdirs(dir))
+      throw new IllegalStateException(s"could not create manifest dir $dir")
+    val id = currentSnapshot(fs, results).map(_._1 + 1L).getOrElse(0L)
+    val body = files.map(relativize(fs, results, _)).sorted.mkString("\n")
+    val tmp = new Path(dir, f"snap-$id%09d.txt.tmp")
+    val out = fs.create(tmp, true)
+    try out.write(body.getBytes(UTF_8)) finally out.close()
+    val dst = new Path(dir, f"snap-$id%09d.txt")
+    if (!fs.rename(tmp, dst))
+      throw new IllegalStateException(
+        s"snapshot commit rename $tmp -> $dst failed; table unchanged")
+    id
+  }
+
+  /** Ensure the table carries a manifest: when absent, commit snapshot 0 =
+    * the current physical file set. Maintenance ops call this BEFORE moving
+    * replacement files into the dir, so a crash mid-operation can never
+    * leave readers falling back to a half-populated plain directory.
+    * Returns the live file set.
+    */
+  def bootstrap(fs: FileSystem, results: Path,
+                physicalFiles: => Seq[String]): Seq[String] =
+    liveFiles(fs, results).getOrElse {
+      val files = physicalFiles
+      commit(fs, results, files)
+      files
+    }
+
+  /** Read a results table through its manifest when present, else as a
+    * plain parquet dir. basePath keeps partition-dir columns (bucket=N)
+    * alive under an explicit file list.
+    */
+  def read(spark: SparkSession, resultsDir: String): DataFrame = {
+    val p = new Path(resultsDir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    liveFiles(fs, p) match {
+      case Some(files) if files.nonEmpty =>
+        spark.read.option("basePath", resultsDir).parquet(files: _*)
+      case Some(_) =>
+        throw new IllegalStateException(s"snapshot of $resultsDir lists no files")
+      case None => spark.read.parquet(resultsDir)
+    }
+  }
+}

@@ -1,0 +1,176 @@
+package graft
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.{col, lit, pmod, xxhash64}
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.pipeline.{Extract, SnapshotStore}
+
+/** Snapshot-manifest commit protocol (the plain-parquet stand-in for
+  * Iceberg's atomic snapshot, COVERAGE.md divergence #2): maintenance ops
+  * publish file swaps via ONE manifest rename; readers resolving through
+  * the manifest observe either the pre- or post-commit table, never a
+  * half-swapped one. Also covers the round-5 crash-recovery guards: the
+  * lineage-patch marker, pre-run_id lineage heal, the smeared-error
+  * fallback, and orphan sweeping.
+  */
+class SnapshotSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder()
+      .master("local[4]")
+      .appName("snapshot-spec")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  private def fsOf(dir: String) =
+    new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def freshTable(prefix: String, partitioned: Boolean = false): String = {
+    val out = java.nio.file.Files.createTempDirectory(prefix)
+      .toFile.getAbsolutePath
+    Extract.runCheckpointed(spark, "data/transcripts_t1", out,
+      bucketPartitioned = partitioned)
+    out
+  }
+
+  private def rows(out: String) =
+    Extract.readResults(spark, out).drop("bucket")
+      .orderBy("conv_id", "turn_idx").collect().toSeq
+
+  test("manifest readers never observe a half-swapped table") {
+    val out = freshTable("graft-snap-atomic")
+    val clean = rows(out)
+    assert(clean.size === 1163)
+
+    // first maintenance op creates the manifest (bootstrap + commit)
+    Extract.compactResults(spark, out)
+    val resultsPath = new Path(s"$out/results")
+    val fs = fsOf(out)
+    assert(SnapshotStore.currentSnapshot(fs, resultsPath).nonEmpty)
+    assert(rows(out) === clean)
+
+    // simulate the mid-maintenance window: a replacement file has been
+    // moved in but the commit has NOT happened — duplicate a live file
+    // under a fresh part name. A plain dir read sees duplicated rows; the
+    // manifest read must stay on the committed snapshot.
+    val live = SnapshotStore.liveFiles(fs, resultsPath).get
+    val src = new Path(live.head)
+    val dup = new Path(src.getParent, "part-uncommitted-duplicate.parquet")
+    org.apache.hadoop.fs.FileUtil.copy(fs, src, fs, dup, false,
+      spark.sparkContext.hadoopConfiguration)
+    assert(spark.read.parquet(s"$out/results").count() > clean.size.toLong,
+      "plain read should see the uncommitted duplicate (precondition)")
+    assert(rows(out) === clean, "manifest read observed uncommitted files")
+
+    // commit points the snapshot at a new file set atomically; afterwards
+    // the reader follows it (here: same set, so still clean), and orphans
+    // (the uncommitted duplicate) are swept by the next compaction
+    SnapshotStore.commit(fs, resultsPath, live)
+    assert(rows(out) === clean)
+    Extract.compactResults(spark, out)
+    assert(!fs.exists(dup), "compaction did not sweep the orphan")
+    assert(rows(out) === clean)
+    assert(spark.read.parquet(s"$out/results").count() === clean.size.toLong,
+      "plain read differs at rest after sweep")
+  }
+
+  test("reparse on a manifest-carrying table restores the clean state") {
+    val out = freshTable("graft-snap-reparse", partitioned = true)
+    val clean = rows(out)
+    Extract.compactResults(spark, out) // table now carries a manifest
+    val fs = fsOf(out)
+    assert(SnapshotStore.currentSnapshot(fs, new Path(s"$out/results")).nonEmpty)
+
+    // a single conversation's errors touch only its bucket's file — well
+    // under the smeared-error threshold, so the file-granular path runs
+    val n = Extract.injectTransientErrors(spark, out,
+      col("conv_id") === "t1-conv-00007")
+    assert(n > 0L)
+    val m = Extract.reparseErrors(spark, "data/transcripts_t1", out)
+    assert(m("rewrite_mode") === "file_granular")
+    assert(rows(out) === clean)
+    // lineage reconciles with a full recompute over the restored table
+    assert(spark.read.parquet(s"$out/lineage_buckets")
+      .orderBy("bucket").collect().toSeq ===
+      Extract.bucketLineage(Extract.readResults(spark, out).drop("bucket"))
+        .orderBy("bucket").collect().toSeq)
+  }
+
+  test("crash between results swap and lineage patch forces a heal (marker)") {
+    val out = freshTable("graft-snap-marker")
+    val cleanBuckets = spark.read.parquet(s"$out/lineage_buckets")
+      .orderBy("bucket").collect().toSeq
+
+    // simulate the window reparseErrors protects with the marker: results
+    // swapped, lineage patch NOT done. The key set is unchanged, so the
+    // rows_out invariant holds and CANNOT catch this — corrupt md_chars
+    // (a stale content sum) and drop the marker file as reparse would.
+    val stale = spark.read.parquet(s"$out/lineage_buckets")
+      .withColumn("md_chars", col("md_chars") + lit(12345L))
+      .localCheckpoint(true)
+    stale.write.mode("overwrite").parquet(s"$out/lineage_buckets")
+    val fs = fsOf(out)
+    val marker = new Path(s"$out/_lineage_patch_pending")
+    fs.create(marker, true).close()
+
+    // a zero-row resume must heal BECAUSE of the marker (invariant holds)
+    val m = Extract.runCheckpointed(spark, "data/transcripts_t1", out)
+    assert(m("rows").asInstanceOf[Long] === 0L)
+    assert(!fs.exists(marker), "marker not cleared after heal")
+    assert(spark.read.parquet(s"$out/lineage_buckets")
+      .orderBy("bucket").collect().toSeq === cleanBuckets)
+  }
+
+  test("pre-run_id lineage tables are healed on resume") {
+    val out = freshTable("graft-snap-runid")
+    // rewrite the partition-lineage table WITHOUT run_id (the pre-round-4
+    // layout); the bucket invariant still holds
+    val old = spark.read.parquet(s"$out/lineage").drop("run_id")
+      .localCheckpoint(true)
+    old.write.mode("overwrite").parquet(s"$out/lineage")
+    val m = Extract.runCheckpointed(spark, "data/transcripts_t1", out)
+    assert(m("rows").asInstanceOf[Long] === 0L)
+    val lin = spark.read.parquet(s"$out/lineage")
+    assert(lin.columns.contains("run_id"))
+    assert(lin.agg(org.apache.spark.sql.functions.sum("rows_out"))
+      .collect()(0).getLong(0) === 1163L)
+    // and reparse heals it too (instead of throwing on max(run_id))
+    old.write.mode("overwrite").parquet(s"$out/lineage")
+    Extract.injectTransientErrors(spark, out,
+      col("conv_id") === "t1-conv-00003")
+    val mr = Extract.reparseErrors(spark, "data/transcripts_t1", out)
+    assert(mr("rows").asInstanceOf[Long] > 0L)
+    assert(spark.read.parquet(s"$out/lineage").columns.contains("run_id"))
+  }
+
+  test("errors smeared across every file fall back to a whole-table rewrite") {
+    val out = freshTable("graft-snap-smear")
+    val clean = rows(out)
+    // ~1/3 of rows error → with hash-spread keys, every part-file holds
+    // errors, so the file-granular path would rewrite everything through a
+    // driver-held file list; the guard must choose the full rewrite
+    val n = Extract.injectTransientErrors(spark, out,
+      pmod(xxhash64(col("conv_id"), col("turn_idx")), lit(3)) === 0)
+    assert(n > clean.size / 4L)
+    val m = Extract.reparseErrors(spark, "data/transcripts_t1", out)
+    assert(m("rewrite_mode") === "full")
+    assert(m("rows").asInstanceOf[Long] >= n)
+    assert(rows(out) === clean)
+    // lineage still reconciles (the delta patch is granularity-independent)
+    assert(spark.read.parquet(s"$out/lineage_buckets")
+      .orderBy("bucket").collect().toSeq ===
+      Extract.bucketLineage(Extract.readResults(spark, out))
+        .orderBy("bucket").collect().toSeq)
+  }
+}
