@@ -257,6 +257,16 @@ object SparkEntry {
     "doc_shared_paragraphs" -> ((s, dir) =>
       DocOps.sharedParagraphs(docs(s, dir)).orderBy("doc_id")),
 
+    // its cleaning complement (round 5): drop paragraphs occurring in ≥2
+    // docs, keeping the rest in order
+    "doc_paragraph_dedup" -> ((s, dir) =>
+      DocOps.dedupParagraphs(docs(s, dir)).orderBy("doc_id")),
+
+    // benchmark decontamination (round 5): 13-gram overlap of the corpus
+    // against the deterministic held-out eval split
+    "doc_decontam" -> ((s, dir) =>
+      DocOps.decontaminate(docs(s, dir)).orderBy("doc_id")),
+
     // corpus top-k word frequencies (exact complement of doc_word_hll)
     "doc_word_topk" -> ((s, dir) => DocOps.wordTopK(docs(s, dir))),
 
@@ -547,6 +557,20 @@ object SparkEntry {
     // (the engine groups by md5 — same partition, collision-free)
     "doc_shared_paragraphs" ->
       """WITH paras AS (SELECT doc_id, unnest(str_split(text, chr(10) || chr(10))) AS p FROM documents), cnt AS (SELECT p, count(DISTINCT doc_id) AS n_docs FROM paras GROUP BY p) SELECT paras.doc_id, CAST(count(*) AS BIGINT) AS n_paras, CAST(sum(CASE WHEN cnt.n_docs >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared_paras, CAST(sum(CASE WHEN cnt.n_docs >= 2 THEN 1 ELSE 0 END) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS shared_frac FROM paras JOIN cnt ON paras.p = cnt.p GROUP BY paras.doc_id ORDER BY paras.doc_id""",
+
+    // paragraph dedup: the oracle groups by the raw paragraph (the engine
+    // by md5 — same partition, collision-free) and rebuilds the kept text
+    // with an ordered string_agg; fully-emptied docs coalesce to ''
+    "doc_paragraph_dedup" ->
+      """WITH split AS (SELECT doc_id, str_split(text, chr(10) || chr(10)) AS ps FROM documents), par AS (SELECT doc_id, ps, unnest(range(len(ps))) AS pos FROM split), p AS (SELECT doc_id, pos, ps[pos + 1] AS para FROM par), shared AS (SELECT para FROM p GROUP BY para HAVING count(DISTINCT doc_id) >= 2), agg AS (SELECT doc_id, string_agg(para, chr(10) || chr(10) ORDER BY pos) AS cleaned_text FROM p WHERE para NOT IN (SELECT para FROM shared) GROUP BY doc_id), rm AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM p WHERE para IN (SELECT para FROM shared) GROUP BY doc_id) SELECT d.doc_id, coalesce(a.cleaned_text, '') AS cleaned_text, coalesce(rm.n, CAST(0 AS BIGINT)) AS n_paras_removed FROM documents d LEFT JOIN agg a ON a.doc_id = d.doc_id LEFT JOIN rm ON rm.doc_id = d.doc_id ORDER BY d.doc_id""",
+
+    // decontamination recomputed independently: portable doc_id hash picks
+    // the eval split, 13-word shingles via list_transform, inverted-index
+    // semi-joins for the overlap counts
+    "doc_decontam" -> {
+      val cat = (0 until DocOps.DecontamK)
+        .map(j => if (j == 0) "w[i]" else s"w[i+$j]").mkString(" || ' ' || ")
+      s"""WITH ev AS (SELECT doc_id FROM documents WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 10 = 7), words AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w FROM documents), sh AS (SELECT DISTINCT doc_id, s FROM (SELECT doc_id, unnest(list_transform(range(1, len(w)-${DocOps.DecontamK - 2}), i -> $cat)) AS s FROM words WHERE len(w) >= ${DocOps.DecontamK})), evs AS (SELECT DISTINCT s FROM sh WHERE doc_id IN (SELECT doc_id FROM ev)), corpus AS (SELECT doc_id FROM documents WHERE doc_id NOT IN (SELECT doc_id FROM ev)), tot AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM sh WHERE doc_id IN (SELECT doc_id FROM corpus) GROUP BY doc_id), flag AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS nc FROM sh WHERE doc_id IN (SELECT doc_id FROM corpus) AND s IN (SELECT s FROM evs) GROUP BY doc_id) SELECT c.doc_id, coalesce(tot.n, CAST(0 AS BIGINT)) AS n_shingles, coalesce(flag.nc, CAST(0 AS BIGINT)) AS n_contaminated, CASE WHEN coalesce(tot.n, 0) = 0 THEN 0.0 ELSE CAST(coalesce(flag.nc, 0) AS DOUBLE) / CAST(tot.n AS DOUBLE) END AS contaminated_frac FROM corpus c LEFT JOIN tot ON tot.doc_id = c.doc_id LEFT JOIN flag ON flag.doc_id = c.doc_id ORDER BY c.doc_id""" },
 
     // first-occurrence line dedup: DuckDB's list_distinct is unordered, so
     // the oracle numbers lines and keeps rn=1 per (doc, line) via a window

@@ -366,6 +366,92 @@ object DocOps {
         col("n_shared_paras").cast("double") / col("n_paras").cast("double"))
   }
 
+  /** Cross-doc paragraph dedup — the CLEANING transform paired with
+    * [[sharedParagraphs]] (exactly as [[dedupLines]] pairs with
+    * [[repetitionStats]]): drop every paragraph occurring in ≥ `minDocs`
+    * documents (sitewide boilerplate — headers, license blocks), keeping
+    * the rest in order.
+    *
+    * 100-TB shape: the removal DECISION never carries text — paragraphs
+    * are digested map-side, the shared set is found on (digest, doc_id)
+    * pairs, and the per-doc removal set is a handful of (doc_id, pos)
+    * ints joined back to the doc's own row, where a pure projection
+    * (index-aware filter HOF + array_join) rebuilds the cleaned text.
+    * The only strings crossing an exchange are 32-char digests.
+    */
+  def dedupParagraphs(docs: DataFrame, minDocs: Int = 2): DataFrame = {
+    val paras = docs.select(col("doc_id"),
+      posexplode(transform(split(col("text"), "\n\n"), p => md5(p)))
+        .as(Seq("pos", "h")))
+    val shared = paras.groupBy(col("h"))
+      .agg(countDistinct(col("doc_id")).as("n_docs"))
+      .where(col("n_docs") >= minDocs)
+    val rm = paras.join(shared.select(col("h")), Seq("h"), "left_semi")
+      .groupBy(col("doc_id")).agg(collect_set(col("pos")).as("rm"))
+    docs.join(rm, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        array_join(
+          filter(split(col("text"), "\n\n"),
+            (p, i) => coalesce(!array_contains(col("rm"), i), lit(true))),
+          "\n\n").as("cleaned_text"),
+        coalesce(size(col("rm")).cast("long"), lit(0L)).as("n_paras_removed"))
+  }
+
+  // ------------------------------------------------------- decontamination
+
+  /** Shingle size for benchmark decontamination — the GPT-3/Llama 13-gram
+    * recipe (Brown et al. 2020 appx. C; Touvron et al. 2023).
+    */
+  val DecontamK = 13
+
+  /** The deterministic held-out eval split: docs whose portable doc_id
+    * hash lands on `residue` mod `mod` (~1/mod of the corpus). A real
+    * deployment passes its benchmark table to [[decontamAgainst]] instead.
+    */
+  def evalSplit(docs: DataFrame, mod: Int = 10, residue: Int = 7): DataFrame =
+    docs.where(pmod(md5Hash60(col("doc_id").cast("string")), lit(mod.toLong))
+      === residue.toLong)
+
+  /** Benchmark decontamination: per corpus doc, how many of its distinct
+    * k-gram shingles also occur in the eval set — the contamination signal
+    * a training-data pipeline computes before training (docs overlapping
+    * the benchmark are dropped or split-corrected).
+    *
+    * 100-TB shape: the eval set is a benchmark — tiny next to the corpus —
+    * so its distinct shingle table BROADCASTS and the corpus-side
+    * semi-join is map-side (no shuffle of the corpus shingle stream;
+    * plan-asserted). The per-doc counts are partial-aggregated (doc_id,
+    * long) pairs. Docs too short to shingle (< k words) report 0/0 → 0.0.
+    */
+  def decontamAgainst(corpus: DataFrame, evalDocs: DataFrame,
+                      k: Int = DecontamK): DataFrame = {
+    val evalSh = shingles(evalDocs, k).select(col("s")).distinct()
+    val sh = shingles(corpus, k)
+    val totals = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+    val flagged = sh.join(broadcast(evalSh), Seq("s"), "left_semi")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_con"))
+    corpus.select(col("doc_id"))
+      .join(totals, Seq("doc_id"), "left")
+      .join(flagged, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_sh"), lit(0L)).as("n_shingles"),
+        coalesce(col("n_con"), lit(0L)).as("n_contaminated"))
+      .withColumn("contaminated_frac",
+        when(col("n_shingles") === 0L, 0.0)
+          .otherwise(col("n_contaminated").cast("double") /
+            col("n_shingles").cast("double")))
+  }
+
+  /** [[decontamAgainst]] over the deterministic holdout split: eval = the
+    * hash-selected ~10%, corpus = the rest.
+    */
+  def decontaminate(docs: DataFrame, k: Int = DecontamK): DataFrame = {
+    val ev = evalSplit(docs)
+    decontamAgainst(
+      docs.join(ev.select(col("doc_id")), Seq("doc_id"), "left_anti"),
+      ev, k)
+  }
+
   /** Within-doc line dedup — the CLEANING transform paired with
     * [[repetitionStats]] (RefinedWeb-style boilerplate removal): keep each
     * distinct line's FIRST occurrence, preserving order. Pure per-row

@@ -180,6 +180,80 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!plan.contains("Exchange hashpartitioning(p#"), plan)
   }
 
+  test("paragraph dedup drops cross-doc boilerplate, keeps order, text never shuffled") {
+    val s = spark
+    import s.implicits._
+    val boiler = "COPYRIGHT NOTICE 2026"
+    val footer = "Subscribe to our newsletter"
+    val d = Seq(
+      (1L, s"$boiler\n\nunique body one\n\n$footer"),
+      (2L, s"$boiler\n\nunique body two"),
+      (3L, s"original content\n\n$footer"),
+      (4L, "entirely original\n\ncontent here"),
+      (5L, boiler) // the whole doc is boilerplate → fully emptied
+    ).toDF("doc_id", "text")
+    val r = DocOps.dedupParagraphs(d).collect().map(x => x.getLong(0) -> x).toMap
+    assert(r(1L).getString(1) === "unique body one" && r(1L).getLong(2) === 2L)
+    assert(r(2L).getString(1) === "unique body two" && r(2L).getLong(2) === 1L)
+    assert(r(3L).getString(1) === "original content" && r(3L).getLong(2) === 1L)
+    assert(r(4L).getString(1) === "entirely original\n\ncontent here"
+      && r(4L).getLong(2) === 0L)
+    assert(r(5L).getString(1) === "" && r(5L).getLong(2) === 1L)
+    // a WITHIN-doc repeat is not cross-doc boilerplate: countDistinct(doc)
+    val within = Seq((1L, "dup\n\nmid\n\ndup")).toDF("doc_id", "text")
+    val w = DocOps.dedupParagraphs(within).collect()(0)
+    assert(w.getString(1) === "dup\n\nmid\n\ndup" && w.getLong(2) === 0L)
+    // scale shape: raw paragraph text never crosses an exchange — the
+    // shared-set and removal-position joins run on digests and ints; the
+    // doc text reaches the final projection on its own row
+    val plan = DocOps.dedupParagraphs(d).queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange hashpartitioning(p#"), plan)
+  }
+
+  test("decontamination flags planted 13-gram eval overlap; eval side broadcasts") {
+    val s = spark
+    import s.implicits._
+    val leak = (1 to 15).map(i => s"leak$i").mkString(" ") // 15 words ⇒ 3 13-grams
+    val evalDocs = Seq(
+      (100L, s"benchmark question about $leak and its answer")
+    ).toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, s"prefix words here $leak suffix tail"), // contains all 3 leaked 13-grams and more
+      (2L, (1 to 40).map(i => s"clean$i").mkString(" ")), // 40 words, no overlap
+      (3L, "too short to shingle at thirteen") // < 13 words → 0/0 → 0.0
+    ).toDF("doc_id", "text")
+    val r = DocOps.decontamAgainst(corpus, evalDocs).collect()
+      .map(x => x.getLong(0) -> x).toMap
+    assert(r.size === 3)
+    // doc 1: some shingles contaminated, not all (prefix/suffix differ)
+    assert(r(1L).getLong(2) > 0L && r(1L).getLong(2) < r(1L).getLong(1))
+    assert(r(1L).getDouble(3) > 0.0 && r(1L).getDouble(3) < 1.0)
+    assert(r(2L).getLong(1) === 28L && r(2L).getLong(2) === 0L
+      && r(2L).getDouble(3) === 0.0)
+    assert(r(3L).getLong(1) === 0L && r(3L).getLong(2) === 0L
+      && r(3L).getDouble(3) === 0.0)
+    // exact expected overlap: the surrounding contexts differ, so the
+    // contaminated shingles are exactly the windows fully inside the
+    // 15-word leak run — 15 - 13 + 1 = 3 of doc 1's 20 - 12 = 8 shingles
+    assert(r(1L).getLong(1) === 8L && r(1L).getLong(2) === 3L)
+    // scale shape: the eval shingle set broadcasts, so the CORPUS shingle
+    // stream joins map-side (a LeftSemi BroadcastHashJoin on s). The only
+    // shuffle on a shingle column is the EVAL side's own distinct —
+    // benchmark-sized, under the BroadcastExchange.
+    val plan = DocOps.decontamAgainst(corpus, evalDocs)
+      .queryExecution.executedPlan.toString
+    val semiLine = plan.linesIterator
+      .find(l => l.contains("BroadcastHashJoin [s#") && l.contains("LeftSemi"))
+    assert(semiLine.nonEmpty, plan)
+    // holdout split: deterministic, disjoint, exhaustive
+    val ev = DocOps.evalSplit(docs)
+    val evIds = ev.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(evIds.nonEmpty && evIds.size < docs.count())
+    val out = DocOps.decontaminate(docs).collect()
+    assert(out.length.toLong === docs.count() - evIds.size)
+    assert(out.forall(x => !evIds.contains(x.getLong(0))))
+  }
+
   test("line dedup keeps first occurrences in order") {
     val s = spark
     import s.implicits._
