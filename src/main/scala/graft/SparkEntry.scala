@@ -271,7 +271,10 @@ object SparkEntry {
     "doc_word_topk" -> ((s, dir) => DocOps.wordTopK(docs(s, dir))),
 
     // cluster-size histogram over the near-dup connected components — the
-    // corpus-health view a dedup run reports (round 4)
+    // corpus-health view a dedup run reports (round 4). NOTE: recomputes
+    // the nearDups+CC pipeline because each driver query must be
+    // self-contained; a caller computing keepers AND stats in one session
+    // should aggregate over its keepersFromEdges output instead.
     "doc_dedup_stats" -> ((s, dir) =>
       DocOps.dedupKeepers(docs(s, dir), tau = 0.5)
         .groupBy(col("keeper_doc_id")).agg(count(lit(1)).as("cluster_size"))

@@ -181,6 +181,13 @@ object Extract {
   def readResults(spark: SparkSession, outDir: String): DataFrame =
     SnapshotStore.read(spark, s"$outDir/results")
 
+  /** Time-travel read: the results table as of snapshot `id` (the
+    * VERSION-AS-OF analog; see [[SnapshotStore.readAt]] for the expiry
+    * contract). Available once the table carries a manifest.
+    */
+  def readResultsAt(spark: SparkSession, outDir: String, id: Long): DataFrame =
+    SnapshotStore.readAt(spark, s"$outDir/results", id)
+
   /** Marker signalling "results were swapped but the lineage patch has not
     * completed" — created by [[reparseErrors]] immediately before its
     * snapshot commit and cleared only after both lineage tables are

@@ -45,32 +45,43 @@ object SnapshotStore {
   def qualify(fs: FileSystem, f: String): String =
     fs.makeQualified(new Path(f)).toString
 
-  /** (id, path) of the current snapshot, if the table carries a manifest.
-    * `.tmp` leftovers from a crashed commit are ignored (never the current
-    * snapshot) and harmless: the next commit overwrites its own tmp name.
+  /** All snapshot (id, path) pairs the table retains, ascending. Old
+    * manifests are never deleted by commits, so the history doubles as a
+    * time-travel index ([[readAt]]); only files still on disk are
+    * readable, so a snapshot older than the last compaction sweep may
+    * reference retired files (same contract as an expired Iceberg
+    * snapshot).
     */
-  def currentSnapshot(fs: FileSystem, results: Path): Option[(Long, Path)] = {
+  def snapshots(fs: FileSystem, results: Path): Seq[(Long, Path)] = {
     val dir = manifestDir(results)
-    if (!fs.exists(dir)) return None
-    val snaps = fs.listStatus(dir).toSeq.flatMap { s =>
+    if (!fs.exists(dir)) return Seq.empty
+    fs.listStatus(dir).toSeq.flatMap { s =>
       s.getPath.getName match {
         case SnapRe(id) => Some((id.toLong, s.getPath))
         case _ => None
       }
-    }
-    if (snaps.isEmpty) None else Some(snaps.maxBy(_._1))
+    }.sortBy(_._1)
+  }
+
+  /** (id, path) of the current snapshot, if the table carries a manifest.
+    * `.tmp` leftovers from a crashed commit are ignored (never the current
+    * snapshot) and harmless: the next commit overwrites its own tmp name.
+    */
+  def currentSnapshot(fs: FileSystem, results: Path): Option[(Long, Path)] =
+    snapshots(fs, results).lastOption
+
+  private def filesOf(fs: FileSystem, results: Path, manifest: Path): Seq[String] = {
+    val in = fs.open(manifest)
+    val content = try new String(in.readAllBytes(), UTF_8) finally in.close()
+    content.linesIterator.filter(_.nonEmpty)
+      .map(rel => qualify(fs, new Path(results, rel).toString)).toSeq
   }
 
   /** The table's live data files (qualified absolute paths) per the current
     * snapshot; None when the table has no manifest (plain-dir mode).
     */
   def liveFiles(fs: FileSystem, results: Path): Option[Seq[String]] =
-    currentSnapshot(fs, results).map { case (_, p) =>
-      val in = fs.open(p)
-      val content = try new String(in.readAllBytes(), UTF_8) finally in.close()
-      content.linesIterator.filter(_.nonEmpty)
-        .map(rel => qualify(fs, new Path(results, rel).toString)).toSeq
-    }
+    currentSnapshot(fs, results).map { case (_, p) => filesOf(fs, results, p) }
 
   private def relativize(fs: FileSystem, results: Path, f: String): String = {
     val root = fs.makeQualified(results).toString
@@ -127,5 +138,24 @@ object SnapshotStore {
         throw new IllegalStateException(s"snapshot of $resultsDir lists no files")
       case None => spark.read.parquet(resultsDir)
     }
+  }
+
+  /** Time-travel read: the table as of snapshot `id` (Iceberg's
+    * VERSION AS OF). Fails if the snapshot does not exist or if any of its
+    * files has since been retired by a compaction sweep (the analog of
+    * reading an expired snapshot).
+    */
+  def readAt(spark: SparkSession, resultsDir: String, id: Long): DataFrame = {
+    val p = new Path(resultsDir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val manifest = snapshots(fs, p).collectFirst { case (`id`, m) => m }
+      .getOrElse(throw new IllegalArgumentException(
+        s"no snapshot $id under $resultsDir"))
+    val files = filesOf(fs, p, manifest)
+    files.find(f => !fs.exists(new Path(f))).foreach { missing =>
+      throw new IllegalStateException(
+        s"snapshot $id references retired file $missing (expired by compaction)")
+    }
+    spark.read.option("basePath", resultsDir).parquet(files: _*)
   }
 }

@@ -154,6 +154,34 @@ class SnapshotSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(spark.read.parquet(s"$out/lineage").columns.contains("run_id"))
   }
 
+  test("time-travel reads resolve historical snapshots; swept ones expire") {
+    val base = java.nio.file.Files.createTempDirectory("graft-snap-tt")
+    val splitDir = s"$base/first_half"
+    val out = s"$base/out"
+    val turns = Extract.readTranscripts(spark, "data/transcripts_t1")
+    turns.toDF().where(col("conv_id") < "t1-conv-00060").write.parquet(splitDir)
+    Extract.runCheckpointed(spark, splitDir, out)
+    val halfRows = Extract.readResults(spark, out).count()
+    assert(halfRows > 0 && halfRows < 1163)
+    // compaction creates the manifest: snap 0 = bootstrap (pre-compaction
+    // files), snap 1 = the compacted set; the sweep retires snap 0's files
+    Extract.compactResults(spark, out)
+    // an appending resume commits snap 2 = snap 1's files + the increment
+    val m = Extract.runCheckpointed(spark, "data/transcripts_t1", out)
+    assert(m("rows").asInstanceOf[Long] === 1163L - halfRows)
+    assert(Extract.readResults(spark, out).count() === 1163L)
+    // snapshot 1 is the pre-append table — still fully readable (appends
+    // retire nothing)
+    assert(Extract.readResultsAt(spark, out, 1L).count() === halfRows)
+    assert(Extract.readResultsAt(spark, out, 2L).count() === 1163L)
+    // snapshot 0's files were swept by the compaction → expired
+    assertThrows[IllegalStateException](
+      Extract.readResultsAt(spark, out, 0L).count())
+    // unknown id
+    assertThrows[IllegalArgumentException](
+      Extract.readResultsAt(spark, out, 99L).count())
+  }
+
   test("errors smeared across every file fall back to a whole-table rewrite") {
     val out = freshTable("graft-snap-smear")
     val clean = rows(out)
