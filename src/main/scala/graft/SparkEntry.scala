@@ -283,6 +283,16 @@ object SparkEntry {
 
     "doc_tokens" -> ((s, dir) => DocOps.tokenStats(docs(s, dir)).orderBy("doc_id")),
 
+    // the Gopher quality-rule bundle (round 5): every rule metric + the
+    // pass/fail verdict as one pure codegen projection
+    "doc_gopher_rules" -> ((s, dir) =>
+      DocOps.gopherRules(docs(s, dir)).orderBy("doc_id")),
+
+    // per-doc distinctive terms by (tf desc, df asc) — integer-exact
+    // tf-idf ranking (round 5)
+    "doc_top_terms" -> ((s, dir) =>
+      DocOps.topTerms(docs(s, dir)).orderBy("doc_id", "rank")),
+
     "doc_fingerprint" -> ((s, dir) => DocOps.fingerprint(docs(s, dir)).orderBy("doc_id")),
 
     "doc_winnow" -> ((s, dir) =>
@@ -596,6 +606,16 @@ object SparkEntry {
 
     "doc_fingerprint" ->
       """SELECT doc_id, md5(text) AS content_md5, substr(md5(text), 1, 16) AS fp64_hex FROM documents ORDER BY doc_id""",
+
+    // Gopher rule bundle: counts recomputed with list HOFs, ratios as the
+    // same exact int→double divisions, verdict as the same conjunction
+    "doc_gopher_rules" ->
+      """SELECT doc_id, n_words, word_chars, n_lines, bullet_lines, ellipsis_lines, alpha_words, symbols, stops_present, mean_word_len, symbol_ratio, bullet_frac, ellipsis_frac, alpha_frac, (n_words BETWEEN 50 AND 100000) AND (mean_word_len BETWEEN 3.0 AND 10.0) AND symbol_ratio <= 0.1 AND bullet_frac < 0.9 AND ellipsis_frac < 0.3 AND alpha_frac >= 0.8 AND stops_present >= 2 AS gopher_pass FROM (SELECT doc_id, n_words, word_chars, n_lines, bullet_lines, ellipsis_lines, alpha_words, symbols, stops_present, CASE WHEN n_words = 0 THEN 0.0 ELSE CAST(word_chars AS DOUBLE) / CAST(n_words AS DOUBLE) END AS mean_word_len, CASE WHEN n_words = 0 THEN 0.0 ELSE CAST(symbols AS DOUBLE) / CAST(n_words AS DOUBLE) END AS symbol_ratio, CAST(bullet_lines AS DOUBLE) / CAST(n_lines AS DOUBLE) AS bullet_frac, CAST(ellipsis_lines AS DOUBLE) / CAST(n_lines AS DOUBLE) AS ellipsis_frac, CASE WHEN n_words = 0 THEN 0.0 ELSE CAST(alpha_words AS DOUBLE) / CAST(n_words AS DOUBLE) END AS alpha_frac FROM (SELECT doc_id, CASE WHEN length(trim(text)) = 0 THEN CAST(0 AS BIGINT) ELSE CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) END AS n_words, CAST(list_sum(list_transform(regexp_split_to_array(trim(text), '\s+'), x -> length(x))) AS BIGINT) AS word_chars, CAST(len(str_split(text, chr(10))) AS BIGINT) AS n_lines, CAST(len(list_filter(str_split(text, chr(10)), x -> starts_with(x, chr(8226)) OR starts_with(x, '- ') OR starts_with(x, '* '))) AS BIGINT) AS bullet_lines, CAST(len(list_filter(str_split(text, chr(10)), x -> ends_with(x, '...') OR ends_with(x, chr(8230)))) AS BIGINT) AS ellipsis_lines, CAST(len(list_filter(regexp_split_to_array(trim(text), '\s+'), x -> regexp_matches(x, '[A-Za-z]'))) AS BIGINT) AS alpha_words, CAST(length(text) - length(replace(text, '#', '')) + len(regexp_extract_all(text, '\.\.\.|' || chr(8230))) AS BIGINT) AS symbols, CAST((CASE WHEN list_contains(regexp_split_to_array(trim(text), '\s+'), 'the') THEN 1 ELSE 0 END) + (CASE WHEN list_contains(regexp_split_to_array(trim(text), '\s+'), 'be') THEN 1 ELSE 0 END) + (CASE WHEN list_contains(regexp_split_to_array(trim(text), '\s+'), 'to') THEN 1 ELSE 0 END) + (CASE WHEN list_contains(regexp_split_to_array(trim(text), '\s+'), 'of') THEN 1 ELSE 0 END) + (CASE WHEN list_contains(regexp_split_to_array(trim(text), '\s+'), 'and') THEN 1 ELSE 0 END) + (CASE WHEN list_contains(regexp_split_to_array(trim(text), '\s+'), 'that') THEN 1 ELSE 0 END) + (CASE WHEN list_contains(regexp_split_to_array(trim(text), '\s+'), 'have') THEN 1 ELSE 0 END) + (CASE WHEN list_contains(regexp_split_to_array(trim(text), '\s+'), 'with') THEN 1 ELSE 0 END) AS BIGINT) AS stops_present FROM documents) t1) t2 ORDER BY doc_id""",
+
+    // distinctive terms: tf/df recomputed via the same two aggregations;
+    // (tf DESC, df ASC, term) is a total order within a doc
+    "doc_top_terms" ->
+      """WITH tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS term FROM documents) t WHERE length(term) > 0 GROUP BY doc_id, term), df AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term), r AS (SELECT tf.doc_id, tf.term, tf.tf, df.df, row_number() OVER (PARTITION BY tf.doc_id ORDER BY tf.tf DESC, df.df ASC, tf.term) AS rank FROM tf JOIN df USING (term)) SELECT doc_id, rank, term, tf, df FROM r WHERE rank <= 3 ORDER BY doc_id, rank""",
 
     // SimHash recomputed independently: 60-bit md5-prefix word hash
     // (CAST('0x..' AS BIGINT)), per-bit tf-weighted sums, pigeonhole bands

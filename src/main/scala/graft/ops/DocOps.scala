@@ -467,6 +467,92 @@ object DocOps {
       (size(lines) - size(dlines)).cast("long").as("n_lines_removed"))
   }
 
+  /** Gopher quality-rule bundle (Rae et al. 2021, "Scaling Language
+    * Models: ...Gopher", appendix A1.1) — the canonical pre-training
+    * document filter, as ONE pure projection emitting every rule metric
+    * plus the pass/fail verdict:
+    *   50 ≤ words ≤ 100,000; 3 ≤ mean word length ≤ 10; hash OR ellipsis
+    *   symbol-to-word ratio ≤ 0.1; < 90% of lines bullet-started; < 30%
+    *   of lines ellipsis-ended; ≥ 80% of words contain an alphabetic
+    *   character; ≥ 2 of the 8 Gopher stop words present.
+    *
+    * 100-TB shape: no shuffle, no explode — per-row split + HOF counts,
+    * whole-stage codegen (plan-asserted). All ratios are exact
+    * int→double divisions in a fixed order, so the DuckDB oracle is
+    * bit-identical.
+    */
+  def gopherRules(docs: DataFrame): DataFrame = {
+    val t = col("text")
+    val words = split(trim(t), "\\s+")
+    val nWords = when(length(trim(t)) === 0, 0L).otherwise(size(words).cast("long"))
+    val wordChars = aggregate(words, lit(0L), (acc, w) => acc + length(w))
+    val lines = split(t, "\n")
+    val nLines = size(lines).cast("long")
+    val bulletLines = size(filter(lines, l =>
+      l.startsWith("•") || l.startsWith("- ") || l.startsWith("* ")))
+      .cast("long")
+    val ellipsisLines = size(filter(lines, l =>
+      l.endsWith("...") || l.endsWith("…"))).cast("long")
+    val alphaWords = size(filter(words, w => w.rlike("[A-Za-z]"))).cast("long")
+    val hashes = length(t) - length(regexp_replace(t, "#", ""))
+    val ellipses = regexp_count(t, lit("\\.\\.\\.|…"))
+    val gopherStops = Seq("the", "be", "to", "of", "and", "that", "have", "with")
+    val stopsPresent = gopherStops.map(sw =>
+      when(array_contains(words, sw), 1L).otherwise(0L)).reduce(_ + _)
+    docs.select(col("doc_id"), nWords.as("n_words"),
+        wordChars.as("word_chars"), nLines.as("n_lines"),
+        bulletLines.as("bullet_lines"), ellipsisLines.as("ellipsis_lines"),
+        alphaWords.as("alpha_words"), (hashes + ellipses).cast("long").as("symbols"),
+        stopsPresent.as("stops_present"))
+      .withColumn("mean_word_len",
+        when(col("n_words") === 0L, 0.0)
+          .otherwise(col("word_chars").cast("double") / col("n_words").cast("double")))
+      .withColumn("symbol_ratio",
+        when(col("n_words") === 0L, 0.0)
+          .otherwise(col("symbols").cast("double") / col("n_words").cast("double")))
+      .withColumn("bullet_frac",
+        col("bullet_lines").cast("double") / col("n_lines").cast("double"))
+      .withColumn("ellipsis_frac",
+        col("ellipsis_lines").cast("double") / col("n_lines").cast("double"))
+      .withColumn("alpha_frac",
+        when(col("n_words") === 0L, 0.0)
+          .otherwise(col("alpha_words").cast("double") / col("n_words").cast("double")))
+      .withColumn("gopher_pass",
+        col("n_words").between(50L, 100000L) &&
+          col("mean_word_len").between(3.0, 10.0) &&
+          col("symbol_ratio") <= 0.1 &&
+          col("bullet_frac") < 0.9 &&
+          col("ellipsis_frac") < 0.3 &&
+          col("alpha_frac") >= 0.8 &&
+          col("stops_present") >= 2L)
+  }
+
+  /** Per-doc distinctive terms: top `k` words ranked by term frequency
+    * DESC, document frequency ASC, word ASC — the integer-exact ordering
+    * equivalent of tf-idf ranking (log() differs in the last bit across
+    * engines; the (tf, 1/df) lexicographic order does not, and for
+    * single-corpus ranking they agree wherever tf-idf has a strict order).
+    *
+    * 100-TB shape: per-doc tf is one partial-aggregated shuffle on
+    * (doc_id, word); df is one on word; the join back is keyed on word;
+    * the final top-k is a bounded per-doc window. Docs with no words have
+    * no terms and are absent, by definition.
+    */
+  def topTerms(docs: DataFrame, k: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tf = docs
+      .select(col("doc_id"), explode(split(trim(col("text")), "\\s+")).as("term"))
+      .where(length(col("term")) > 0)
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("tf").desc, col("df").asc, col("term"))
+    tf.join(df, Seq("term"))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("doc_id"), col("rank"), col("term"), col("tf"), col("df"))
+  }
+
   /** Token counting: whitespace tokens + a BPE-ish regex segmentation
     * (letters run | digits run | single other-symbol).
     */

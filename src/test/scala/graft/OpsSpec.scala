@@ -254,6 +254,65 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out.forall(x => !evIds.contains(x.getLong(0))))
   }
 
+  test("Gopher rule bundle: metrics and verdict, pure projection") {
+    val s = spark
+    import s.implicits._
+    val good = (1 to 60).map(i => s"word$i").mkString(" ") +
+      " the and of that" // 64 words, all alphabetic, 4 stop words
+    val hashy = (1 to 60).map(_ => "ok").mkString(" ") + " " +
+      (1 to 20).map(_ => "#").mkString(" ") // 81 words, 20 '#' symbols
+    val bullets = (1 to 10).map(i => s"• item $i the of").toSeq.mkString("\n")
+    val d = Seq(
+      (1L, good),
+      (2L, hashy),            // symbol ratio 20/81 > 0.1 → fail
+      (3L, "short doc the of"), // 4 words < 50 → fail
+      (4L, bullets),          // 10/10 bullet lines ≥ 0.9 → fail
+      (5L, "")                // degenerate: all guards → fail
+    ).toDF("doc_id", "text")
+    val r = DocOps.gopherRules(d).collect().map(x => x.getLong(0) -> x).toMap
+    def f(id: Long, name: String) =
+      r(id).getAs[Any](name)
+    assert(f(1L, "n_words") === 64L && f(1L, "stops_present") === 4L
+      && f(1L, "gopher_pass") === true)
+    assert(f(2L, "symbols") === 20L && f(2L, "gopher_pass") === false)
+    assert(f(3L, "n_words") === 4L && f(3L, "gopher_pass") === false)
+    assert(f(4L, "bullet_lines") === 10L && f(4L, "n_lines") === 10L
+      && f(4L, "gopher_pass") === false)
+    assert(f(5L, "n_words") === 0L && f(5L, "mean_word_len") === 0.0
+      && f(5L, "gopher_pass") === false)
+    // ellipsis rules: 2 of 4 lines ellipsis-ended → frac 0.5 ≥ 0.3
+    val ell = Seq((6L, "one line...\ntwo\nthree…\nfour")).toDF("doc_id", "text")
+    val e = DocOps.gopherRules(ell).collect()(0)
+    assert(e.getAs[Long]("ellipsis_lines") === 2L)
+    assert(e.getAs[Boolean]("gopher_pass") === false)
+    // pure projection: no Exchange in the plan
+    assert(!DocOps.gopherRules(d).queryExecution.executedPlan.toString
+      .contains("Exchange"))
+  }
+
+  test("top terms rank by tf desc, df asc, term; ties total") {
+    val s = spark
+    import s.implicits._
+    val d = Seq(
+      (1L, "apple apple apple rare common common"),
+      (2L, "common rare zebra zebra")
+    ).toDF("doc_id", "text")
+    // df: apple=1 rare=2 common=2 zebra=1
+    val r = DocOps.topTerms(d, 3).collect()
+      .map(x => (x.getLong(0), x.getInt(1), x.getString(2), x.getLong(3), x.getLong(4)))
+    val d1 = r.filter(_._1 == 1L).sortBy(_._2)
+    // doc 1: apple tf=3; common tf=2; rare tf=1
+    assert(d1 === Seq((1L, 1, "apple", 3L, 1L), (1L, 2, "common", 2L, 2L),
+      (1L, 3, "rare", 1L, 2L)))
+    val d2 = r.filter(_._1 == 2L).sortBy(_._2)
+    // doc 2: zebra tf=2; then tf=1 ties common/rare → df equal (2) → term
+    assert(d2 === Seq((2L, 1, "zebra", 2L, 1L), (2L, 2, "common", 1L, 2L),
+      (2L, 3, "rare", 1L, 2L)))
+    // a whitespace-only doc contributes no terms
+    val none = Seq((3L, "  ")).toDF("doc_id", "text")
+    assert(DocOps.topTerms(none).count() === 0L)
+  }
+
   test("line dedup keeps first occurrences in order") {
     val s = spark
     import s.implicits._
