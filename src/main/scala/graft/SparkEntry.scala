@@ -293,6 +293,15 @@ object SparkEntry {
     "doc_top_terms" -> ((s, dir) =>
       DocOps.topTerms(docs(s, dir)).orderBy("doc_id", "rank")),
 
+    // the Gopher repetition rules: top {2,3,4}-gram and duplicated
+    // {5,10}-gram char fractions (round 5)
+    "doc_ngram_repetition" -> ((s, dir) =>
+      DocOps.ngramRepetition(docs(s, dir)).orderBy("doc_id")),
+
+    // per-source corpus health report (round 5): integer-exact merge
+    "doc_source_report" -> ((s, dir) =>
+      DocOps.sourceReport(docs(s, dir)).orderBy("source")),
+
     "doc_fingerprint" -> ((s, dir) => DocOps.fingerprint(docs(s, dir)).orderBy("doc_id")),
 
     "doc_winnow" -> ((s, dir) =>
@@ -611,6 +620,25 @@ object SparkEntry {
     // same exact int→double divisions, verdict as the same conjunction
     "doc_gopher_rules" ->
       """SELECT doc_id, n_words, word_chars, n_lines, bullet_lines, ellipsis_lines, alpha_words, symbols, stops_present, mean_word_len, symbol_ratio, bullet_frac, ellipsis_frac, alpha_frac, (n_words BETWEEN 50 AND 100000) AND (mean_word_len BETWEEN 3.0 AND 10.0) AND symbol_ratio <= 0.1 AND bullet_frac < 0.9 AND ellipsis_frac < 0.3 AND alpha_frac >= 0.8 AND stops_present >= 2 AS gopher_pass FROM (SELECT doc_id, n_words, word_chars, n_lines, bullet_lines, ellipsis_lines, alpha_words, symbols, stops_present, CASE WHEN n_words = 0 THEN 0.0 ELSE CAST(word_chars AS DOUBLE) / CAST(n_words AS DOUBLE) END AS mean_word_len, CASE WHEN n_words = 0 THEN 0.0 ELSE CAST(symbols AS DOUBLE) / CAST(n_words AS DOUBLE) END AS symbol_ratio, CAST(bullet_lines AS DOUBLE) / CAST(n_lines AS DOUBLE) AS bullet_frac, CAST(ellipsis_lines AS DOUBLE) / CAST(n_lines AS DOUBLE) AS ellipsis_frac, CASE WHEN n_words = 0 THEN 0.0 ELSE CAST(alpha_words AS DOUBLE) / CAST(n_words AS DOUBLE) END AS alpha_frac FROM (SELECT doc_id, CASE WHEN length(trim(text)) = 0 THEN CAST(0 AS BIGINT) ELSE CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) END AS n_words, CAST(list_sum(list_transform(regexp_split_to_array(trim(text), '\s+'), x -> length(x))) AS BIGINT) AS word_chars, CAST(len(str_split(text, chr(10))) AS BIGINT) AS n_lines, CAST(len(list_filter(str_split(text, chr(10)), x -> starts_with(x, chr(8226)) OR starts_with(x, '- ') OR starts_with(x, '* '))) AS BIGINT) AS bullet_lines, CAST(len(list_filter(str_split(text, chr(10)), x -> ends_with(x, '...') OR ends_with(x, chr(8230)))) AS BIGINT) AS ellipsis_lines, CAST(len(list_filter(regexp_split_to_array(trim(text), '\s+'), x -> regexp_matches(x, '[A-Za-z]'))) AS BIGINT) AS alpha_words, CAST(length(text) - length(replace(text, '#', '')) + len(regexp_extract_all(text, '\.\.\.|' || chr(8230))) AS BIGINT) AS symbols, CAST((CASE WHEN list_contains(regexp_split_to_array(trim(text), '\s+'), 'the') THEN 1 ELSE 0 END) + (CASE WHEN list_contains(regexp_split_to_array(trim(text), '\s+'), 'be') THEN 1 ELSE 0 END) + (CASE WHEN list_contains(regexp_split_to_array(trim(text), '\s+'), 'to') THEN 1 ELSE 0 END) + (CASE WHEN list_contains(regexp_split_to_array(trim(text), '\s+'), 'of') THEN 1 ELSE 0 END) + (CASE WHEN list_contains(regexp_split_to_array(trim(text), '\s+'), 'and') THEN 1 ELSE 0 END) + (CASE WHEN list_contains(regexp_split_to_array(trim(text), '\s+'), 'that') THEN 1 ELSE 0 END) + (CASE WHEN list_contains(regexp_split_to_array(trim(text), '\s+'), 'have') THEN 1 ELSE 0 END) + (CASE WHEN list_contains(regexp_split_to_array(trim(text), '\s+'), 'with') THEN 1 ELSE 0 END) AS BIGINT) AS stops_present FROM documents) t1) t2 ORDER BY doc_id""",
+
+    // Gopher repetition rules: per n, the gram tf table is one CTE; top =
+    // window rn=1, dup = sum over tf>=2; fractions joined on doc_id
+    "doc_ngram_repetition" -> {
+      def gramCat(n: Int) = (0 until n)
+        .map(j => if (j == 0) "w[i]" else s"w[i+$j]").mkString(" || ' ' || ")
+      def gt(n: Int) =
+        s"g$n AS (SELECT doc_id, g, CAST(count(*) AS BIGINT) AS tf FROM (SELECT doc_id, unnest(list_transform(range(1, len(w) - ${n - 2}), i -> ${gramCat(n)})) AS g FROM words WHERE len(w) >= $n) GROUP BY doc_id, g)"
+      def top(n: Int) =
+        s"t$n AS (SELECT doc_id, tf * CAST(length(g) AS BIGINT) AS ch FROM (SELECT doc_id, g, tf, row_number() OVER (PARTITION BY doc_id ORDER BY tf DESC, g) AS rn FROM g$n) x WHERE rn = 1)"
+      def dup(n: Int) =
+        s"d$n AS (SELECT doc_id, CAST(sum(tf * length(g)) AS BIGINT) AS ch FROM g$n WHERE tf >= 2 GROUP BY doc_id)"
+      def frac(src: String) =
+        s"CASE WHEN length(d.text) = 0 THEN 0.0 ELSE CAST(coalesce($src.ch, 0) AS DOUBLE) / CAST(length(d.text) AS DOUBLE) END"
+      s"""WITH words AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w FROM documents), ${gt(2)}, ${gt(3)}, ${gt(4)}, ${gt(5)}, ${gt(10)}, ${top(2)}, ${top(3)}, ${top(4)}, ${dup(5)}, ${dup(10)} SELECT d.doc_id, CAST(length(d.text) AS BIGINT) AS n_chars_m, ${frac("t2")} AS top2_frac, ${frac("t3")} AS top3_frac, ${frac("t4")} AS top4_frac, ${frac("d5")} AS dup5_frac, ${frac("d10")} AS dup10_frac FROM documents d LEFT JOIN t2 ON t2.doc_id = d.doc_id LEFT JOIN t3 ON t3.doc_id = d.doc_id LEFT JOIN t4 ON t4.doc_id = d.doc_id LEFT JOIN d5 ON d5.doc_id = d.doc_id LEFT JOIN d10 ON d10.doc_id = d.doc_id ORDER BY d.doc_id""" },
+
+    // per-source report: integer sums merged then ratios derived
+    "doc_source_report" ->
+      """SELECT source, n_docs, total_chars, total_words, alpha_chars, min_chars, max_chars, CAST(total_chars AS DOUBLE) / CAST(n_docs AS DOUBLE) AS mean_chars, CASE WHEN total_chars = 0 THEN 0.0 ELSE CAST(alpha_chars AS DOUBLE) / CAST(total_chars AS DOUBLE) END AS alpha_frac FROM (SELECT source, CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(length(text)) AS BIGINT) AS total_chars, CAST(sum(CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len(regexp_split_to_array(trim(text), '\s+')) END) AS BIGINT) AS total_words, CAST(sum(length(text) - length(regexp_replace(text, '[A-Za-z]', '', 'g'))) AS BIGINT) AS alpha_chars, CAST(min(length(text)) AS BIGINT) AS min_chars, CAST(max(length(text)) AS BIGINT) AS max_chars FROM documents GROUP BY source) t ORDER BY source""",
 
     // distinctive terms: tf/df recomputed via the same two aggregations;
     // (tf DESC, df ASC, term) is a total order within a doc

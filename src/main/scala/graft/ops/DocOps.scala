@@ -330,6 +330,57 @@ object DocOps {
             col("line_chars").cast("double")))
   }
 
+  /** The Gopher REPETITION rules ([[gopherRules]] covers the quality
+    * rules; Rae et al. 2021 appx. A1.1 table A1): per doc,
+    *  - top n-gram char fraction (n = 2, 3, 4): chars of the most frequent
+    *    word n-gram (occurrences × gram length, spaces included) over the
+    *    doc's chars;
+    *  - duplicated n-gram char fraction (n = 5, 10 as the family's
+    *    representatives; the full 5–10 range is the same column repeated):
+    *    chars of all n-grams occurring ≥ 2 times over the doc's chars —
+    *    overlapping occurrences overcount, a known property of the
+    *    published metric (fractions may exceed 1 on degenerate docs).
+    *
+    * 100-TB shape: per-n, one partial-aggregated shuffle on (doc_id, gram)
+    * and either a bounded per-doc window (top) or a second tiny per-doc
+    * agg (dup); the five signals join back on doc_id. All divisions are
+    * exact int→double, so the DuckDB oracle is bit-identical.
+    */
+  def ngramRepetition(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val words = split(trim(col("text")), "\\s+")
+    def gramTf(n: Int): DataFrame = docs
+      .where(length(trim(col("text"))) > 0 && size(words) >= n)
+      .select(col("doc_id"),
+        explode(transform(sequence(lit(1), size(words) - (n - 1)),
+          i => concat_ws(" ", slice(words, i, lit(n))))).as("g"))
+      .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("tf"))
+    def topChars(n: Int): DataFrame = {
+      val w = Window.partitionBy(col("doc_id"))
+        .orderBy(col("tf").desc, col("g"))
+      gramTf(n).withColumn("rn", row_number().over(w)).where(col("rn") === 1)
+        .select(col("doc_id"), (col("tf") * length(col("g")).cast("long"))
+          .as(s"top${n}_chars"))
+    }
+    def dupChars(n: Int): DataFrame =
+      gramTf(n).where(col("tf") >= 2L)
+        .groupBy(col("doc_id"))
+        .agg(sum(col("tf") * length(col("g")).cast("long")).as(s"dup${n}_chars"))
+    def frac(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      when(col("n_chars_m") === 0L, 0.0)
+        .otherwise(coalesce(c, lit(0L)).cast("double") / col("n_chars_m").cast("double"))
+    Seq(topChars(2), topChars(3), topChars(4), dupChars(5), dupChars(10))
+      .foldLeft(docs.select(col("doc_id"),
+        length(col("text")).cast("long").as("n_chars_m")))(
+        (acc, d) => acc.join(d, Seq("doc_id"), "left"))
+      .select(col("doc_id"), col("n_chars_m"),
+        frac(col("top2_chars")).as("top2_frac"),
+        frac(col("top3_chars")).as("top3_frac"),
+        frac(col("top4_chars")).as("top4_frac"),
+        frac(col("dup5_chars")).as("dup5_frac"),
+        frac(col("dup10_chars")).as("dup10_frac"))
+  }
+
   /** Corpus-level top-k word frequencies — the exact-count complement of
     * the HLL distinct-word sketch. Scale shape: map-side partial counts
     * shuffle (word, partial) pairs, then orderBy+limit plans as
@@ -577,6 +628,38 @@ object DocOps {
       .agg(
         graft.functions.HllSketch.hll_sketch(md5Hash60(col("word"))).as("hll_registers"),
         count(lit(1)).as("n_words"))
+
+  /** Per-source corpus health report — the view a pipeline owner reads
+    * when deciding which crawl/source to keep, reweight, or drop: doc
+    * count, char/word volume, alphabetic-char fraction, size range.
+    *
+    * 100-TB shape: one partial-aggregated shuffle keyed on source (a
+    * low-cardinality key — partial aggregation collapses almost
+    * everything map-side). All merged quantities are INTEGER sums
+    * (associative — exact under any partitioning); ratios are derived
+    * from the merged sums, so the doubles are bit-identical to the
+    * DuckDB oracle's.
+    */
+  def sourceReport(docs: DataFrame): DataFrame = {
+    val t = col("text")
+    val words = split(trim(t), "\\s+")
+    val nWords = when(length(trim(t)) === 0, 0L).otherwise(size(words).cast("long"))
+    docs.select(col("source"), length(t).cast("long").as("c"), nWords.as("w"),
+        (length(t) - length(regexp_replace(t, "[A-Za-z]", ""))).cast("long").as("a"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("c")).as("total_chars"),
+        sum(col("w")).as("total_words"),
+        sum(col("a")).as("alpha_chars"),
+        min(col("c")).as("min_chars"),
+        max(col("c")).as("max_chars"))
+      .withColumn("mean_chars",
+        col("total_chars").cast("double") / col("n_docs").cast("double"))
+      .withColumn("alpha_frac",
+        when(col("total_chars") === 0L, 0.0)
+          .otherwise(col("alpha_chars").cast("double") /
+            col("total_chars").cast("double")))
+  }
 
   /** Content fingerprints: md5 digest + 64-bit prefix (hex) — the
     * dedup/lineage key at corpus scale.

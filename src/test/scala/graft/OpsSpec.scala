@@ -290,6 +290,57 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       .contains("Exchange"))
   }
 
+  test("n-gram repetition: top and duplicated gram char fractions") {
+    val s = spark
+    import s.implicits._
+    val rep10 = ((1 to 10) ++ (1 to 10)).map(i => s"w$i").mkString(" ")
+    val d = Seq(
+      (1L, "ab ab ab ab"),   // degenerate repetition
+      (2L, "one two three four five six"), // all grams unique
+      (3L, rep10),           // the 10-gram w1..w10 occurs twice
+      (4L, "")               // empty → all zeros
+    ).toDF("doc_id", "text")
+    val r = DocOps.ngramRepetition(d).collect().map(x => x.getLong(0) -> x).toMap
+    def f(id: Long, name: String) = r(id).getAs[Double](name)
+    // doc 1 (11 chars): "ab ab" tf=3 ×5 chars = 15/11 (overlap overcount —
+    // the published metric's property); "ab ab ab" tf=2 ×8 = 16/11;
+    // top4 = the whole text once = 1.0; no 5-grams
+    assert(f(1L, "top2_frac") === 15.0 / 11.0)
+    assert(f(1L, "top3_frac") === 16.0 / 11.0)
+    assert(f(1L, "top4_frac") === 1.0)
+    assert(f(1L, "dup5_frac") === 0.0)
+    // doc 2: every gram unique → top tf=1; dup = 0
+    val len2 = "one two three four five six".length.toDouble
+    assert(f(2L, "top2_frac") === "five six".length / len2) // lexicographic tie-break among tf=1 grams
+    assert(f(2L, "dup5_frac") === 0.0 && f(2L, "dup10_frac") === 0.0)
+    // doc 3: the duplicated 10-gram contributes both occurrences
+    val gram10 = (1 to 10).map(i => s"w$i").mkString(" ")
+    assert(f(3L, "dup10_frac") === 2.0 * gram10.length / rep10.length)
+    assert(f(3L, "dup5_frac") > 0.0)
+    assert(f(4L, "top2_frac") === 0.0 && f(4L, "dup10_frac") === 0.0)
+  }
+
+  test("source report: integer-exact merge, derived ratios") {
+    val s = spark
+    import s.implicits._
+    val d = Seq(
+      (1L, "abc def", "x", "crawlA"),
+      (2L, "12345", "x", "crawlA"),
+      (3L, "hello world", "x", "crawlB")
+    ).toDF("doc_id", "text", "lang", "source")
+    val r = DocOps.sourceReport(d).collect().map(x => x.getString(0) -> x).toMap
+    val a = r("crawlA")
+    assert(a.getAs[Long]("n_docs") === 2L)
+    assert(a.getAs[Long]("total_chars") === 12L) // 7 + 5
+    assert(a.getAs[Long]("total_words") === 3L)
+    assert(a.getAs[Long]("alpha_chars") === 6L)
+    assert(a.getAs[Long]("min_chars") === 5L && a.getAs[Long]("max_chars") === 7L)
+    assert(a.getAs[Double]("mean_chars") === 6.0)
+    assert(a.getAs[Double]("alpha_frac") === 0.5)
+    val b = r("crawlB")
+    assert(b.getAs[Long]("n_docs") === 1L && b.getAs[Double]("alpha_frac") === 10.0 / 11.0)
+  }
+
   test("top terms rank by tf desc, df asc, term; ties total") {
     val s = spark
     import s.implicits._

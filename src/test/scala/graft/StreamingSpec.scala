@@ -56,6 +56,12 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     outQ2.processAllAvailable(); outQ2.stop()
     assert(spark.table("dedup_stream").orderBy("doc_id").collect().toSeq ===
       DocOps.dedupLines(docs).orderBy("doc_id").collect().toSeq)
+    // the Gopher rule bundle is also a pure projection → same symmetry
+    val outQ3 = DocOps.gopherRules(stream).writeStream
+      .format("memory").queryName("gopher_stream").outputMode("append").start()
+    outQ3.processAllAvailable(); outQ3.stop()
+    assert(spark.table("gopher_stream").orderBy("doc_id").collect().toSeq ===
+      DocOps.gopherRules(docs).orderBy("doc_id").collect().toSeq)
   }
 
   test("streaming extraction equals batch extraction; checkpoint resume skips done work") {
