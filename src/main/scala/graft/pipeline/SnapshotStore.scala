@@ -93,20 +93,39 @@ object SnapshotStore {
   /** Atomically commit a new snapshot listing exactly `files`. Returns the
     * new snapshot id. The single rename is the commit point — every step
     * before it is invisible to readers, every step after it is recovery.
+    *
+    * Concurrent writers: rename-onto-existing FAILS atomically on
+    * HDFS/local FS, so two committers racing the same id cannot clobber
+    * each other — the loser gets a [[ConcurrentCommitException]] and must
+    * re-derive its file set against the winner's snapshot before
+    * retrying (the caller-side rebase is what Iceberg's optimistic commit
+    * protocol automates; this store only guarantees the detection).
     */
-  def commit(fs: FileSystem, results: Path, files: Seq[String]): Long = {
+  def commit(fs: FileSystem, results: Path, files: Seq[String]): Long =
+    commitAt(fs, results, files,
+      currentSnapshot(fs, results).map(_._1 + 1L).getOrElse(0L))
+
+  class ConcurrentCommitException(msg: String) extends IllegalStateException(msg)
+
+  private[graft] def commitAt(fs: FileSystem, results: Path,
+                              files: Seq[String], id: Long): Long = {
     val dir = manifestDir(results)
     if (!fs.exists(dir) && !fs.mkdirs(dir))
       throw new IllegalStateException(s"could not create manifest dir $dir")
-    val id = currentSnapshot(fs, results).map(_._1 + 1L).getOrElse(0L)
     val body = files.map(relativize(fs, results, _)).sorted.mkString("\n")
     val tmp = new Path(dir, f"snap-$id%09d.txt.tmp")
     val out = fs.create(tmp, true)
     try out.write(body.getBytes(UTF_8)) finally out.close()
     val dst = new Path(dir, f"snap-$id%09d.txt")
-    if (!fs.rename(tmp, dst))
+    if (!fs.rename(tmp, dst)) {
+      fs.delete(tmp, false)
+      if (fs.exists(dst))
+        throw new ConcurrentCommitException(
+          s"snapshot $id was committed by another writer; re-derive the " +
+            s"file set against it and retry (table unchanged by this commit)")
       throw new IllegalStateException(
         s"snapshot commit rename $tmp -> $dst failed; table unchanged")
+    }
     id
   }
 

@@ -154,6 +154,26 @@ class SnapshotSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(spark.read.parquet(s"$out/lineage").columns.contains("run_id"))
   }
 
+  test("a racing commit to the same snapshot id is detected, not clobbered") {
+    val out = freshTable("graft-snap-race")
+    Extract.compactResults(spark, out) // manifest exists
+    val fs = fsOf(out)
+    val resultsPath = new Path(s"$out/results")
+    val (curId, _) = SnapshotStore.currentSnapshot(fs, resultsPath).get
+    val live = SnapshotStore.liveFiles(fs, resultsPath).get
+    // writer A wins snapshot curId+1; writer B (us) then tries the SAME id
+    // — the id another committer claimed in A's read-to-rename window
+    SnapshotStore.commitAt(fs, resultsPath, live, curId + 1)
+    val before = SnapshotStore.currentSnapshot(fs, resultsPath).get
+    assertThrows[SnapshotStore.ConcurrentCommitException](
+      SnapshotStore.commitAt(fs, resultsPath, live.tail, curId + 1))
+    // the winner's snapshot is untouched and still current
+    assert(SnapshotStore.currentSnapshot(fs, resultsPath).get === before)
+    assert(SnapshotStore.liveFiles(fs, resultsPath).get.toSet === live.toSet)
+    // a rebased retry (fresh id from the current snapshot) succeeds
+    assert(SnapshotStore.commit(fs, resultsPath, live) === curId + 2)
+  }
+
   test("time-travel reads resolve historical snapshots; swept ones expire") {
     val base = java.nio.file.Files.createTempDirectory("graft-snap-tt")
     val splitDir = s"$base/first_half"
