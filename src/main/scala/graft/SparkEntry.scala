@@ -288,6 +288,11 @@ object SparkEntry {
     "doc_gopher_rules" -> ((s, dir) =>
       DocOps.gopherRules(docs(s, dir)).orderBy("doc_id")),
 
+    // the end-to-end cleaning verdict composing holdout/dedup/quality/
+    // decontamination with first-failing-stage reasons (round 5)
+    "doc_corpus_clean" -> ((s, dir) =>
+      DocOps.cleanCorpus(docs(s, dir)).orderBy("doc_id")),
+
     // per-doc distinctive terms by (tf desc, df asc) — integer-exact
     // tf-idf ranking (round 5)
     "doc_top_terms" -> ((s, dir) =>
@@ -488,6 +493,23 @@ object SparkEntry {
   private def cosineNearDupsOracleSql: String =
     s"""${lshOracleCtes(64, 10, 8)}, cand AS (SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b FROM coded a JOIN coded b ON a.table_id = b.table_id AND a.bucket = b.bucket WHERE a.vec_id < b.vec_id), scored AS (SELECT cand.vec_a, cand.vec_b, list_dot_product(x.e, y.e) / (x.nrm * y.nrm) AS c FROM cand JOIN buck x ON x.vec_id = cand.vec_a JOIN buck y ON y.vec_id = cand.vec_b) SELECT vec_a, vec_b, round(c, 6) AS cosine FROM scored WHERE c >= 0.4 ORDER BY vec_a, vec_b"""
 
+  /** Gopher rule bundle recompute (shared by `doc_gopher_rules` and the
+    * `doc_corpus_clean` composition): counts via list HOFs, ratios as the
+    * same exact int→double divisions, verdict as the same conjunction.
+    */
+  private val GopherRulesSql: String =
+    """SELECT doc_id, n_words, word_chars, n_lines, bullet_lines, ellipsis_lines, alpha_words, symbols, stops_present, mean_word_len, symbol_ratio, bullet_frac, ellipsis_frac, alpha_frac, (n_words BETWEEN 50 AND 100000) AND (mean_word_len BETWEEN 3.0 AND 10.0) AND symbol_ratio <= 0.1 AND bullet_frac < 0.9 AND ellipsis_frac < 0.3 AND alpha_frac >= 0.8 AND stops_present >= 2 AS gopher_pass FROM (SELECT doc_id, n_words, word_chars, n_lines, bullet_lines, ellipsis_lines, alpha_words, symbols, stops_present, CASE WHEN n_words = 0 THEN 0.0 ELSE CAST(word_chars AS DOUBLE) / CAST(n_words AS DOUBLE) END AS mean_word_len, CASE WHEN n_words = 0 THEN 0.0 ELSE CAST(symbols AS DOUBLE) / CAST(n_words AS DOUBLE) END AS symbol_ratio, CAST(bullet_lines AS DOUBLE) / CAST(n_lines AS DOUBLE) AS bullet_frac, CAST(ellipsis_lines AS DOUBLE) / CAST(n_lines AS DOUBLE) AS ellipsis_frac, CASE WHEN n_words = 0 THEN 0.0 ELSE CAST(alpha_words AS DOUBLE) / CAST(n_words AS DOUBLE) END AS alpha_frac FROM (SELECT doc_id, CASE WHEN length(trim(text)) = 0 THEN CAST(0 AS BIGINT) ELSE CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) END AS n_words, CAST(list_sum(list_transform(regexp_split_to_array(trim(text), '\s+'), x -> length(x))) AS BIGINT) AS word_chars, CAST(len(str_split(text, chr(10))) AS BIGINT) AS n_lines, CAST(len(list_filter(str_split(text, chr(10)), x -> starts_with(x, chr(8226)) OR starts_with(x, '- ') OR starts_with(x, '* '))) AS BIGINT) AS bullet_lines, CAST(len(list_filter(str_split(text, chr(10)), x -> ends_with(x, '...') OR ends_with(x, chr(8230)))) AS BIGINT) AS ellipsis_lines, CAST(len(list_filter(regexp_split_to_array(trim(text), '\s+'), x -> regexp_matches(x, '[A-Za-z]'))) AS BIGINT) AS alpha_words, CAST(length(text) - length(replace(text, '#', '')) + len(regexp_extract_all(text, '\.\.\.|' || chr(8230))) AS BIGINT) AS symbols, CAST((CASE WHEN list_contains(regexp_split_to_array(trim(text), '\s+'), 'the') THEN 1 ELSE 0 END) + (CASE WHEN list_contains(regexp_split_to_array(trim(text), '\s+'), 'be') THEN 1 ELSE 0 END) + (CASE WHEN list_contains(regexp_split_to_array(trim(text), '\s+'), 'to') THEN 1 ELSE 0 END) + (CASE WHEN list_contains(regexp_split_to_array(trim(text), '\s+'), 'of') THEN 1 ELSE 0 END) + (CASE WHEN list_contains(regexp_split_to_array(trim(text), '\s+'), 'and') THEN 1 ELSE 0 END) + (CASE WHEN list_contains(regexp_split_to_array(trim(text), '\s+'), 'that') THEN 1 ELSE 0 END) + (CASE WHEN list_contains(regexp_split_to_array(trim(text), '\s+'), 'have') THEN 1 ELSE 0 END) + (CASE WHEN list_contains(regexp_split_to_array(trim(text), '\s+'), 'with') THEN 1 ELSE 0 END) AS BIGINT) AS stops_present FROM documents) t1) t2"""
+
+  /** Decontamination CTE chain (shared by `doc_decontam` and
+    * `doc_corpus_clean`): portable doc_id hash picks the eval split,
+    * 13-word shingles via list_transform, inverted-index semi-joins.
+    */
+  private val DecontamCtes: String = {
+    val cat = (0 until DocOps.DecontamK)
+      .map(j => if (j == 0) "w[i]" else s"w[i+$j]").mkString(" || ' ' || ")
+    s"""ev AS (SELECT doc_id FROM documents WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 10 = 7), words AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w FROM documents), sh AS (SELECT DISTINCT doc_id, s FROM (SELECT doc_id, unnest(list_transform(range(1, len(w)-${DocOps.DecontamK - 2}), i -> $cat)) AS s FROM words WHERE len(w) >= ${DocOps.DecontamK})), evs AS (SELECT DISTINCT s FROM sh WHERE doc_id IN (SELECT doc_id FROM ev)), corpus AS (SELECT doc_id FROM documents WHERE doc_id NOT IN (SELECT doc_id FROM ev)), tot AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM sh WHERE doc_id IN (SELECT doc_id FROM corpus) GROUP BY doc_id), flag AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS nc FROM sh WHERE doc_id IN (SELECT doc_id FROM corpus) AND s IN (SELECT s FROM evs) GROUP BY doc_id)"""
+  }
+
   /** ANSI SQL oracles (DuckDB). Column names must match the Spark output. */
   def oracleSql: Map[String, String] = Map(
     "vec_ann_lsh" -> annLshOracleSql,
@@ -586,13 +608,9 @@ object SparkEntry {
     "doc_paragraph_dedup" ->
       """WITH split AS (SELECT doc_id, str_split(text, chr(10) || chr(10)) AS ps FROM documents), par AS (SELECT doc_id, ps, unnest(range(len(ps))) AS pos FROM split), p AS (SELECT doc_id, pos, ps[pos + 1] AS para FROM par), shared AS (SELECT para FROM p GROUP BY para HAVING count(DISTINCT doc_id) >= 2), agg AS (SELECT doc_id, string_agg(para, chr(10) || chr(10) ORDER BY pos) AS cleaned_text FROM p WHERE para NOT IN (SELECT para FROM shared) GROUP BY doc_id), rm AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM p WHERE para IN (SELECT para FROM shared) GROUP BY doc_id) SELECT d.doc_id, coalesce(a.cleaned_text, '') AS cleaned_text, coalesce(rm.n, CAST(0 AS BIGINT)) AS n_paras_removed FROM documents d LEFT JOIN agg a ON a.doc_id = d.doc_id LEFT JOIN rm ON rm.doc_id = d.doc_id ORDER BY d.doc_id""",
 
-    // decontamination recomputed independently: portable doc_id hash picks
-    // the eval split, 13-word shingles via list_transform, inverted-index
-    // semi-joins for the overlap counts
-    "doc_decontam" -> {
-      val cat = (0 until DocOps.DecontamK)
-        .map(j => if (j == 0) "w[i]" else s"w[i+$j]").mkString(" || ' ' || ")
-      s"""WITH ev AS (SELECT doc_id FROM documents WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 10 = 7), words AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w FROM documents), sh AS (SELECT DISTINCT doc_id, s FROM (SELECT doc_id, unnest(list_transform(range(1, len(w)-${DocOps.DecontamK - 2}), i -> $cat)) AS s FROM words WHERE len(w) >= ${DocOps.DecontamK})), evs AS (SELECT DISTINCT s FROM sh WHERE doc_id IN (SELECT doc_id FROM ev)), corpus AS (SELECT doc_id FROM documents WHERE doc_id NOT IN (SELECT doc_id FROM ev)), tot AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM sh WHERE doc_id IN (SELECT doc_id FROM corpus) GROUP BY doc_id), flag AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS nc FROM sh WHERE doc_id IN (SELECT doc_id FROM corpus) AND s IN (SELECT s FROM evs) GROUP BY doc_id) SELECT c.doc_id, coalesce(tot.n, CAST(0 AS BIGINT)) AS n_shingles, coalesce(flag.nc, CAST(0 AS BIGINT)) AS n_contaminated, CASE WHEN coalesce(tot.n, 0) = 0 THEN 0.0 ELSE CAST(coalesce(flag.nc, 0) AS DOUBLE) / CAST(tot.n AS DOUBLE) END AS contaminated_frac FROM corpus c LEFT JOIN tot ON tot.doc_id = c.doc_id LEFT JOIN flag ON flag.doc_id = c.doc_id ORDER BY c.doc_id""" },
+    // decontamination recomputed independently (see DecontamCtes)
+    "doc_decontam" ->
+      s"""WITH $DecontamCtes SELECT c.doc_id, coalesce(tot.n, CAST(0 AS BIGINT)) AS n_shingles, coalesce(flag.nc, CAST(0 AS BIGINT)) AS n_contaminated, CASE WHEN coalesce(tot.n, 0) = 0 THEN 0.0 ELSE CAST(coalesce(flag.nc, 0) AS DOUBLE) / CAST(tot.n AS DOUBLE) END AS contaminated_frac FROM corpus c LEFT JOIN tot ON tot.doc_id = c.doc_id LEFT JOIN flag ON flag.doc_id = c.doc_id ORDER BY c.doc_id""",
 
     // first-occurrence line dedup: DuckDB's list_distinct is unordered, so
     // the oracle numbers lines and keeps rn=1 per (doc, line) via a window
@@ -616,10 +634,13 @@ object SparkEntry {
     "doc_fingerprint" ->
       """SELECT doc_id, md5(text) AS content_md5, substr(md5(text), 1, 16) AS fp64_hex FROM documents ORDER BY doc_id""",
 
-    // Gopher rule bundle: counts recomputed with list HOFs, ratios as the
-    // same exact int→double divisions, verdict as the same conjunction
-    "doc_gopher_rules" ->
-      """SELECT doc_id, n_words, word_chars, n_lines, bullet_lines, ellipsis_lines, alpha_words, symbols, stops_present, mean_word_len, symbol_ratio, bullet_frac, ellipsis_frac, alpha_frac, (n_words BETWEEN 50 AND 100000) AND (mean_word_len BETWEEN 3.0 AND 10.0) AND symbol_ratio <= 0.1 AND bullet_frac < 0.9 AND ellipsis_frac < 0.3 AND alpha_frac >= 0.8 AND stops_present >= 2 AS gopher_pass FROM (SELECT doc_id, n_words, word_chars, n_lines, bullet_lines, ellipsis_lines, alpha_words, symbols, stops_present, CASE WHEN n_words = 0 THEN 0.0 ELSE CAST(word_chars AS DOUBLE) / CAST(n_words AS DOUBLE) END AS mean_word_len, CASE WHEN n_words = 0 THEN 0.0 ELSE CAST(symbols AS DOUBLE) / CAST(n_words AS DOUBLE) END AS symbol_ratio, CAST(bullet_lines AS DOUBLE) / CAST(n_lines AS DOUBLE) AS bullet_frac, CAST(ellipsis_lines AS DOUBLE) / CAST(n_lines AS DOUBLE) AS ellipsis_frac, CASE WHEN n_words = 0 THEN 0.0 ELSE CAST(alpha_words AS DOUBLE) / CAST(n_words AS DOUBLE) END AS alpha_frac FROM (SELECT doc_id, CASE WHEN length(trim(text)) = 0 THEN CAST(0 AS BIGINT) ELSE CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) END AS n_words, CAST(list_sum(list_transform(regexp_split_to_array(trim(text), '\s+'), x -> length(x))) AS BIGINT) AS word_chars, CAST(len(str_split(text, chr(10))) AS BIGINT) AS n_lines, CAST(len(list_filter(str_split(text, chr(10)), x -> starts_with(x, chr(8226)) OR starts_with(x, '- ') OR starts_with(x, '* '))) AS BIGINT) AS bullet_lines, CAST(len(list_filter(str_split(text, chr(10)), x -> ends_with(x, '...') OR ends_with(x, chr(8230)))) AS BIGINT) AS ellipsis_lines, CAST(len(list_filter(regexp_split_to_array(trim(text), '\s+'), x -> regexp_matches(x, '[A-Za-z]'))) AS BIGINT) AS alpha_words, CAST(length(text) - length(replace(text, '#', '')) + len(regexp_extract_all(text, '\.\.\.|' || chr(8230))) AS BIGINT) AS symbols, CAST((CASE WHEN list_contains(regexp_split_to_array(trim(text), '\s+'), 'the') THEN 1 ELSE 0 END) + (CASE WHEN list_contains(regexp_split_to_array(trim(text), '\s+'), 'be') THEN 1 ELSE 0 END) + (CASE WHEN list_contains(regexp_split_to_array(trim(text), '\s+'), 'to') THEN 1 ELSE 0 END) + (CASE WHEN list_contains(regexp_split_to_array(trim(text), '\s+'), 'of') THEN 1 ELSE 0 END) + (CASE WHEN list_contains(regexp_split_to_array(trim(text), '\s+'), 'and') THEN 1 ELSE 0 END) + (CASE WHEN list_contains(regexp_split_to_array(trim(text), '\s+'), 'that') THEN 1 ELSE 0 END) + (CASE WHEN list_contains(regexp_split_to_array(trim(text), '\s+'), 'have') THEN 1 ELSE 0 END) + (CASE WHEN list_contains(regexp_split_to_array(trim(text), '\s+'), 'with') THEN 1 ELSE 0 END) AS BIGINT) AS stops_present FROM documents) t1) t2 ORDER BY doc_id""",
+    // Gopher rule bundle (see GopherRulesSql)
+    "doc_gopher_rules" -> s"$GopherRulesSql ORDER BY doc_id",
+
+    // the end-to-end cleaning verdict: eval holdout → exact-dup keeper →
+    // Gopher gate → decontamination gate, first failing stage wins
+    "doc_corpus_clean" ->
+      s"""WITH $DecontamCtes, keepg AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)), gr AS ($GopherRulesSql), v AS (SELECT d.doc_id, (d.doc_id IN (SELECT doc_id FROM ev)) AS is_eval, (d.doc_id IN (SELECT doc_id FROM keepg)) AS is_exact_keeper, gr.gopher_pass, CASE WHEN coalesce(tot.n, 0) = 0 THEN 0.0 ELSE CAST(coalesce(flag.nc, 0) AS DOUBLE) / CAST(tot.n AS DOUBLE) END AS contaminated_frac FROM documents d JOIN gr ON gr.doc_id = d.doc_id LEFT JOIN tot ON tot.doc_id = d.doc_id LEFT JOIN flag ON flag.doc_id = d.doc_id) SELECT doc_id, is_eval, is_exact_keeper, gopher_pass, contaminated_frac, CASE WHEN is_eval THEN 'eval_holdout' WHEN NOT is_exact_keeper THEN 'exact_dup' WHEN NOT gopher_pass THEN 'quality' WHEN contaminated_frac > 0.05 THEN 'contaminated' ELSE NULL END AS drop_reason, (CASE WHEN is_eval THEN 'eval_holdout' WHEN NOT is_exact_keeper THEN 'exact_dup' WHEN NOT gopher_pass THEN 'quality' WHEN contaminated_frac > 0.05 THEN 'contaminated' ELSE NULL END) IS NULL AS kept FROM v ORDER BY doc_id""",
 
     // Gopher repetition rules: per n, the gram tf table is one CTE; top =
     // window rn=1, dup = sum over tf>=2; fractions joined on doc_id

@@ -503,6 +503,48 @@ object DocOps {
       ev, k)
   }
 
+  /** End-to-end corpus-cleaning verdict — the composition the individual
+    * operators exist for: every doc gets a kept/dropped decision with the
+    * FIRST failing stage as the reason, in pipeline order:
+    *   1. `eval_holdout` — the doc belongs to the held-out eval split;
+    *   2. `exact_dup`    — not the keeper (min doc_id) of its content
+    *                       digest group ([[exactDedup]]; swapping in
+    *                       [[dedupKeepers]] upgrades this stage to
+    *                       near-dup clusters with the same join shape);
+    *   3. `quality`      — fails the Gopher rule bundle ([[gopherRules]]);
+    *   4. `contaminated` — 13-gram eval overlap above `contamMax`
+    *                       ([[decontaminate]]).
+    *
+    * 100-TB shape: four left joins keyed on doc_id against tables each of
+    * which is itself scale-shaped (digest-keyed dedup, pure-projection
+    * quality, broadcast-semi-join decontam); the verdict row carries no
+    * text.
+    */
+  def cleanCorpus(docs: DataFrame, contamMax: Double = 0.05): DataFrame = {
+    val ev = evalSplit(docs).select(col("doc_id"), lit(true).as("is_eval"))
+    val keep = exactDedup(docs)
+      .select(col("keeper_doc_id").as("doc_id"), lit(true).as("is_keeper"))
+    val gp = gopherRules(docs).select(col("doc_id"), col("gopher_pass"))
+    val contam = decontaminate(docs).select(col("doc_id"), col("contaminated_frac"))
+    docs.select(col("doc_id"))
+      .join(ev, Seq("doc_id"), "left")
+      .join(keep, Seq("doc_id"), "left")
+      .join(gp, Seq("doc_id"))
+      .join(contam, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("is_eval"), lit(false)).as("is_eval"),
+        coalesce(col("is_keeper"), lit(false)).as("is_exact_keeper"),
+        col("gopher_pass"),
+        coalesce(col("contaminated_frac"), lit(0.0)).as("contaminated_frac"))
+      .withColumn("drop_reason",
+        when(col("is_eval"), "eval_holdout")
+          .when(!col("is_exact_keeper"), "exact_dup")
+          .when(!col("gopher_pass"), "quality")
+          .when(col("contaminated_frac") > contamMax, "contaminated")
+          .otherwise(lit(null).cast("string")))
+      .withColumn("kept", col("drop_reason").isNull)
+  }
+
   /** Within-doc line dedup — the CLEANING transform paired with
     * [[repetitionStats]] (RefinedWeb-style boilerplate removal): keep each
     * distinct line's FIRST occurrence, preserving order. Pure per-row

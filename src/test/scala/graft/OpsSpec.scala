@@ -290,6 +290,53 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       .contains("Exchange"))
   }
 
+  test("corpus-clean verdict composes the stages with first-failure reasons") {
+    val s = spark
+    import s.implicits._
+    // planted corpus where every stage fires. The eval split is
+    // hash-determined, so pick ids AFTER computing the split over a
+    // candidate range.
+    val candidates = (1L to 60L).map(i => (i, "x")).toDF("doc_id", "text")
+    val evAll = DocOps.evalSplit(candidates).select("doc_id").collect()
+      .map(_.getLong(0)).toSet
+    assert(evAll.nonEmpty)
+    val nonEv = (1L to 60L).filterNot(evAll).take(5)
+    val Seq(dupA, dupB, lowQ, contam, good) = nonEv
+    val evId = evAll.head
+    val cleanWords = (1 to 55).map(i => s"clean$i").mkString(" ")
+    // a 25-word leak run → 25 − 12 = 13 distinct contaminated 13-grams,
+    // safely past the 0.05 threshold after per-doc shingle dedup
+    val leak = (1 to 25).map(i => s"leak$i").mkString(" ")
+    val goodText = s"$cleanWords the and of that with" // 60 words, stops, alpha
+    val docs5 = Seq(
+      (evId, s"benchmark eval doc with $leak inside it"),
+      (dupA, goodText), (dupB, goodText), // exact dups — min id is keeper
+      (lowQ, "way too short the of"),     // fails the 50-word rule
+      // passes Gopher (55+25+5 words, alphabetic, stops) but carries the
+      // leaked run → contaminated
+      (contam, s"$cleanWords $leak the and of that with"),
+      (good, goodText + " extra tail words here")
+    ).toDF("doc_id", "text")
+    val r = DocOps.cleanCorpus(docs5).collect().map(x => x.getLong(0) -> x).toMap
+    assert(r.size === 6)
+    def reason(id: Long) = r(id).getAs[String]("drop_reason")
+    assert(reason(evId) === "eval_holdout")
+    assert(reason(math.min(dupA, dupB)) === null) // keeper survives all stages
+    assert(reason(math.max(dupA, dupB)) === "exact_dup") // non-keeper stops here
+    assert(reason(lowQ) === "quality")
+    assert(reason(contam) === "contaminated")
+    assert(r(contam).getAs[Double]("contaminated_frac") > 0.05)
+    assert(reason(good) === null && r(good).getAs[Boolean]("kept"))
+    // over the sf corpus: every doc gets a verdict, eval docs are held out
+    val all = DocOps.cleanCorpus(docs).collect().map(x => x.getLong(0) -> x).toMap
+    assert(all.size.toLong === docs.count())
+    val evIds = DocOps.evalSplit(docs).select("doc_id").collect()
+      .map(_.getLong(0)).toSet
+    assert(evIds.forall(id => all(id).getAs[String]("drop_reason") === "eval_holdout"))
+    assert(all.values.forall(row =>
+      row.getAs[Boolean]("kept") === (row.getAs[String]("drop_reason") == null)))
+  }
+
   test("n-gram repetition: top and duplicated gram char fractions") {
     val s = spark
     import s.implicits._
