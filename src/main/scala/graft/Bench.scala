@@ -308,6 +308,9 @@ object Bench {
       // both promoted into the timed suite
       "vec_ann_ivf" -> (() => VectorOps.annIvf(embDf)),
       "doc_dedup_keepers" -> (() => DocOps.dedupKeepers(docsDf, 0.5)),
+      // round 5: decontamination + the end-to-end cleaning composition
+      "doc_decontam" -> (() => DocOps.decontaminate(docsDf)),
+      "doc_corpus_clean" -> (() => DocOps.cleanCorpus(docsDf)),
       "q1_agg" -> (() => SparkEntry.queries("q1_agg")(s1, sfDir)),
       "q3_join" -> (() => SparkEntry.queries("q3_join")(s1, sfDir)))
     val NominalCal32 = 2.0e10 // clean-window 32-thread splitmix ops/sec

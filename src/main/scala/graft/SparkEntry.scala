@@ -307,6 +307,10 @@ object SparkEntry {
     "doc_source_report" -> ((s, dir) =>
       DocOps.sourceReport(docs(s, dir)).orderBy("source")),
 
+    // PII scrubbing: counts + deterministic redaction chain (round 5)
+    "doc_pii_scrub" -> ((s, dir) =>
+      DocOps.piiScrub(docs(s, dir)).orderBy("doc_id")),
+
     "doc_fingerprint" -> ((s, dir) => DocOps.fingerprint(docs(s, dir)).orderBy("doc_id")),
 
     "doc_winnow" -> ((s, dir) =>
@@ -656,6 +660,11 @@ object SparkEntry {
       def frac(src: String) =
         s"CASE WHEN length(d.text) = 0 THEN 0.0 ELSE CAST(coalesce($src.ch, 0) AS DOUBLE) / CAST(length(d.text) AS DOUBLE) END"
       s"""WITH words AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w FROM documents), ${gt(2)}, ${gt(3)}, ${gt(4)}, ${gt(5)}, ${gt(10)}, ${top(2)}, ${top(3)}, ${top(4)}, ${dup(5)}, ${dup(10)} SELECT d.doc_id, CAST(length(d.text) AS BIGINT) AS n_chars_m, ${frac("t2")} AS top2_frac, ${frac("t3")} AS top3_frac, ${frac("t4")} AS top4_frac, ${frac("d5")} AS dup5_frac, ${frac("d10")} AS dup10_frac FROM documents d LEFT JOIN t2 ON t2.doc_id = d.doc_id LEFT JOIN t3 ON t3.doc_id = d.doc_id LEFT JOIN t4 ON t4.doc_id = d.doc_id LEFT JOIN d5 ON d5.doc_id = d.doc_id LEFT JOIN d10 ON d10.doc_id = d.doc_id ORDER BY d.doc_id""" },
+
+    // PII scrub: same RE2-safe patterns, same fixed redaction order
+    // (email → IP → phone), counts taken at the same chain stage
+    "doc_pii_scrub" ->
+      s"""SELECT doc_id, CAST(len(regexp_extract_all(text, '${DocOps.EmailRe}')) AS BIGINT) AS n_emails, CAST(len(regexp_extract_all(regexp_replace(text, '${DocOps.EmailRe}', '<EMAIL>', 'g'), '${DocOps.Ipv4Re}')) AS BIGINT) AS n_ips, CAST(len(regexp_extract_all(regexp_replace(regexp_replace(text, '${DocOps.EmailRe}', '<EMAIL>', 'g'), '${DocOps.Ipv4Re}', '<IP>', 'g'), '${DocOps.PhoneRe}')) AS BIGINT) AS n_phones, regexp_replace(regexp_replace(regexp_replace(text, '${DocOps.EmailRe}', '<EMAIL>', 'g'), '${DocOps.Ipv4Re}', '<IP>', 'g'), '${DocOps.PhoneRe}', '<PHONE>', 'g') AS redacted_text FROM documents ORDER BY doc_id""",
 
     // per-source report: integer sums merged then ratios derived
     "doc_source_report" ->

@@ -646,6 +646,32 @@ object DocOps {
       .select(col("doc_id"), col("rank"), col("term"), col("tf"), col("df"))
   }
 
+  /** PII scrubbing — the redaction stage a released training corpus runs
+    * (emails, IPv4 addresses, phone-like digit runs): per doc, match
+    * counts plus the redacted text. The patterns are deliberately
+    * backtracking-trivial (single character classes + greedy counts, no
+    * alternation-ordering traps) so Java regex and RE2 (DuckDB) agree
+    * match-for-match, and redaction applies in a fixed order (email → IP
+    * → phone) so later patterns see earlier placeholders, identically in
+    * both engines.
+    *
+    * 100-TB shape: pure per-row projection, no shuffle (plan-asserted).
+    */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z][A-Za-z]+"
+  val Ipv4Re = "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}"
+  val PhoneRe = "\\+[0-9][0-9()\\- ]{7,}[0-9]"
+
+  def piiScrub(docs: DataFrame): DataFrame = {
+    val afterEmail = regexp_replace(col("text"), EmailRe, "<EMAIL>")
+    val afterIp = regexp_replace(afterEmail, Ipv4Re, "<IP>")
+    val afterPhone = regexp_replace(afterIp, PhoneRe, "<PHONE>")
+    docs.select(col("doc_id"),
+      regexp_count(col("text"), lit(EmailRe)).as("n_emails"),
+      regexp_count(afterEmail, lit(Ipv4Re)).as("n_ips"),
+      regexp_count(afterIp, lit(PhoneRe)).as("n_phones"),
+      afterPhone.as("redacted_text"))
+  }
+
   /** Token counting: whitespace tokens + a BPE-ish regex segmentation
     * (letters run | digits run | single other-symbol).
     */

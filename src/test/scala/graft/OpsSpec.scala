@@ -337,6 +337,29 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       row.getAs[Boolean]("kept") === (row.getAs[String]("drop_reason") == null)))
   }
 
+  test("PII scrub: counts and fixed-order redaction, pure projection") {
+    val s = spark
+    import s.implicits._
+    val d = Seq(
+      (1L, "contact me at alice.smith+test@example.co.uk or bob@site.org thanks"),
+      (2L, "server at 192.168.1.100 and 10.0.0.1 responded"),
+      (3L, "call +1 (555) 123-4567 now"),
+      (4L, "mixed: a@b.com from 8.8.8.8 dial +44 20 7946 0958 end"),
+      (5L, "nothing sensitive here")
+    ).toDF("doc_id", "text")
+    val r = DocOps.piiScrub(d).collect().map(x => x.getLong(0) -> x).toMap
+    assert(r(1L).getInt(1) === 2 && r(1L).getString(4) ===
+      "contact me at <EMAIL> or <EMAIL> thanks")
+    assert(r(2L).getInt(2) === 2 && r(2L).getString(4) ===
+      "server at <IP> and <IP> responded")
+    assert(r(3L).getInt(3) === 1 && r(3L).getString(4) === "call <PHONE> now")
+    assert(r(4L).getInt(1) === 1 && r(4L).getInt(2) === 1 && r(4L).getInt(3) === 1)
+    assert(r(4L).getString(4) === "mixed: <EMAIL> from <IP> dial <PHONE> end")
+    assert(r(5L).getInt(1) === 0 && r(5L).getString(4) === "nothing sensitive here")
+    assert(!DocOps.piiScrub(d).queryExecution.executedPlan.toString
+      .contains("Exchange"))
+  }
+
   test("n-gram repetition: top and duplicated gram char fractions") {
     val s = spark
     import s.implicits._
