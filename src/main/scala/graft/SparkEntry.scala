@@ -311,6 +311,10 @@ object SparkEntry {
     "doc_pii_scrub" -> ((s, dir) =>
       DocOps.piiScrub(docs(s, dir)).orderBy("doc_id")),
 
+    // sequence packing: bucket-parallel token cumsum → (pack_id, offset)
+    "doc_pack_sequences" -> ((s, dir) =>
+      DocOps.packSequences(docs(s, dir)).orderBy("doc_id")),
+
     "doc_fingerprint" -> ((s, dir) => DocOps.fingerprint(docs(s, dir)).orderBy("doc_id")),
 
     "doc_winnow" -> ((s, dir) =>
@@ -665,6 +669,10 @@ object SparkEntry {
     // (email → IP → phone), counts taken at the same chain stage
     "doc_pii_scrub" ->
       s"""SELECT doc_id, CAST(len(regexp_extract_all(text, '${DocOps.EmailRe}')) AS BIGINT) AS n_emails, CAST(len(regexp_extract_all(regexp_replace(text, '${DocOps.EmailRe}', '<EMAIL>', 'g'), '${DocOps.Ipv4Re}')) AS BIGINT) AS n_ips, CAST(len(regexp_extract_all(regexp_replace(regexp_replace(text, '${DocOps.EmailRe}', '<EMAIL>', 'g'), '${DocOps.Ipv4Re}', '<IP>', 'g'), '${DocOps.PhoneRe}')) AS BIGINT) AS n_phones, regexp_replace(regexp_replace(regexp_replace(text, '${DocOps.EmailRe}', '<EMAIL>', 'g'), '${DocOps.Ipv4Re}', '<IP>', 'g'), '${DocOps.PhoneRe}', '<PHONE>', 'g') AS redacted_text FROM documents ORDER BY doc_id""",
+
+    // sequence packing: the same windowed integer cumsum per hash bucket
+    "doc_pack_sequences" ->
+      """WITH t AS (SELECT doc_id, CASE WHEN length(trim(text)) = 0 THEN CAST(0 AS BIGINT) ELSE CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) END AS n_tokens, CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 32 AS bucket FROM documents), c AS (SELECT doc_id, bucket, n_tokens, CAST(sum(n_tokens) OVER (PARTITION BY bucket ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum FROM t) SELECT doc_id, bucket, n_tokens, CAST(floor(CAST(cum - n_tokens AS DOUBLE) / 2048.0) AS BIGINT) AS pack_id, (cum - n_tokens) % 2048 AS pack_offset FROM c ORDER BY doc_id""",
 
     // per-source report: integer sums merged then ratios derived
     "doc_source_report" ->

@@ -684,6 +684,39 @@ object DocOps {
       length(t).as("n_chars_m"))
   }
 
+  /** Sequence packing for pretraining: assign each doc a (bucket, pack_id,
+    * offset) so that consecutive docs fill fixed `budget`-token packs —
+    * the contiguous-cumsum approximation of bin packing: docs are laid
+    * head-to-tail in deterministic doc_id order and a doc belongs to the
+    * pack containing its FIRST token (a straddling doc overflows its
+    * pack; the trainer truncates or spills, as sequence packers do).
+    *
+    * 100-TB shape: packing is a RUNNING SUM, which is inherently
+    * sequential — so the corpus is first split into `nBuckets`
+    * INDEPENDENT streams by the portable doc_id hash, and the cumsum
+    * window runs per bucket in parallel (one shuffle, bounded partitions).
+    * A trainer consumes packs per (bucket, pack_id); global pack ids are
+    * unnecessary at scale and deliberately not produced. All arithmetic
+    * is integer, so the DuckDB window replay is exact.
+    */
+  def packSequences(docs: DataFrame, budget: Long = 2048,
+                    nBuckets: Int = 32): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = when(length(trim(col("text"))) === 0, 0L)
+      .otherwise(size(split(trim(col("text")), "\\s+")).cast("long"))
+    val w = Window.partitionBy(col("bucket")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs.select(col("doc_id"), toks.as("n_tokens"))
+      .withColumn("bucket",
+        pmod(md5Hash60(col("doc_id").cast("string")), lit(nBuckets.toLong)))
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+      .select(col("doc_id"), col("bucket"), col("n_tokens"),
+        // floor (not cast-truncate vs round — engines disagree there);
+        // the division is exact: per-bucket token sums stay far below 2^53
+        floor((col("cum_tokens") - col("n_tokens")) / lit(budget)).as("pack_id"),
+        ((col("cum_tokens") - col("n_tokens")) % lit(budget)).as("pack_offset"))
+  }
+
   /** Corpus-wide distinct-word sketch via the custom HLL aggregate
     * (graft.functions.HllSketch): one narrow pass, a 1KB partial per task,
     * merge = elementwise max — COUNT(DISTINCT) at corpus scale without

@@ -337,6 +337,39 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       row.getAs[Boolean]("kept") === (row.getAs[String]("drop_reason") == null)))
   }
 
+  test("sequence packing: deterministic cumsum packs, repartition-invariant") {
+    val s = spark
+    import s.implicits._
+    val d = Seq(
+      (1L, (1 to 4).map(i => s"a$i").mkString(" ")),  // 4 tokens
+      (2L, (1 to 4).map(i => s"b$i").mkString(" ")),
+      (3L, (1 to 4).map(i => s"c$i").mkString(" ")),
+      (4L, "x y z"),                                   // 3 tokens
+      (5L, (1 to 10).map(i => s"d$i").mkString(" ")),  // fills past budget
+      (6L, "p q"),
+      (7L, "")                                         // 0 tokens
+    ).toDF("doc_id", "text")
+    // nBuckets=1: one stream, so the packing is the plain doc_id-order
+    // cumsum: starts 0,4,8,12,15,25,27 with budget 10
+    val r = DocOps.packSequences(d, budget = 10L, nBuckets = 1)
+      .orderBy("doc_id").collect()
+      .map(x => (x.getLong(0), x.getLong(3), x.getLong(4)))
+    assert(r === Seq((1L, 0L, 0L), (2L, 0L, 4L), (3L, 0L, 8L), (4L, 1L, 2L),
+      (5L, 1L, 5L), (6L, 2L, 5L), (7L, 2L, 7L)))
+    // partitioning-invariant (the window order is total per bucket)
+    val r2 = DocOps.packSequences(d.repartition(7), budget = 10L, nBuckets = 1)
+      .orderBy("doc_id").collect()
+      .map(x => (x.getLong(0), x.getLong(3), x.getLong(4)))
+    assert(r2.toSeq === r.toSeq)
+    // with real buckets, every bucket's packs fill contiguously from 0
+    val many = (1L to 200L).map(i => (i, s"tok$i tok tok")).toDF("doc_id", "text")
+    val packed = DocOps.packSequences(many, budget = 7L, nBuckets = 4)
+    val perBucket = packed.groupBy("bucket")
+      .agg(org.apache.spark.sql.functions.min("pack_id"),
+        org.apache.spark.sql.functions.countDistinct("pack_id")).collect()
+    assert(perBucket.nonEmpty && perBucket.forall(_.getLong(1) === 0L))
+  }
+
   test("PII scrub: counts and fixed-order redaction, pure projection") {
     val s = spark
     import s.implicits._
