@@ -13,6 +13,15 @@ object Explain {
     r.explain("formatted")
     println("=== q3_join ===")
     SparkEntry.queries("q3_join")(spark, "/root/testdata/sf0.01").explain("formatted")
+    // round-5 heavies: audit for accidental cartesian joins / text
+    // through exchanges / unexpected extra shuffles
+    val docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    println("=== doc_corpus_clean ===")
+    graft.ops.DocOps.cleanCorpus(docs).explain("formatted")
+    println("=== doc_ngram_repetition ===")
+    graft.ops.DocOps.ngramRepetition(docs).explain("formatted")
+    println("=== doc_pack_sequences ===")
+    graft.ops.DocOps.packSequences(docs).explain("formatted")
     spark.stop()
   }
 }

@@ -520,12 +520,25 @@ object DocOps {
     * quality, broadcast-semi-join decontam); the verdict row carries no
     * text.
     */
-  def cleanCorpus(docs: DataFrame, contamMax: Double = 0.05): DataFrame = {
-    val ev = evalSplit(docs).select(col("doc_id"), lit(true).as("is_eval"))
+  def cleanCorpus(docs0: DataFrame, contamMax: Double = 0.05): DataFrame = {
+    // the verdict's stage tables reference the corpus from MANY branches
+    // (digest dedup, quality projection, both holdout splits, the decontam
+    // shingle pipelines) — without a persist each branch re-scans the
+    // source table (22 parquet scans measured in the naive plan). Persist
+    // the pruned (doc_id, text) projection once; same pattern and
+    // justification as nearDups' membership/shingle persists.
+    val docs = CacheLedger.track(docs0.select(col("doc_id"), col("text"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val evDocs = CacheLedger.track(evalSplit(docs)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val ev = evDocs.select(col("doc_id"), lit(true).as("is_eval"))
     val keep = exactDedup(docs)
       .select(col("keeper_doc_id").as("doc_id"), lit(true).as("is_keeper"))
     val gp = gopherRules(docs).select(col("doc_id"), col("gopher_pass"))
-    val contam = decontaminate(docs).select(col("doc_id"), col("contaminated_frac"))
+    val corpusDocs = docs.join(evDocs.select(col("doc_id")),
+      Seq("doc_id"), "left_anti")
+    val contam = decontamAgainst(corpusDocs, evDocs)
+      .select(col("doc_id"), col("contaminated_frac"))
     docs.select(col("doc_id"))
       .join(ev, Seq("doc_id"), "left")
       .join(keep, Seq("doc_id"), "left")
