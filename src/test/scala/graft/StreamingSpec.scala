@@ -64,6 +64,47 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       DocOps.gopherRules(docs).orderBy("doc_id").collect().toSeq)
   }
 
+  test("decontam overlap stage composes onto a stream (static broadcast + update-mode agg)") {
+    import graft.ops.DocOps
+    import org.apache.spark.sql.functions.{broadcast, col, count, lit}
+    val work = Files.createTempDirectory("graft-stream-decontam").toFile.getAbsolutePath
+    val landing = s"$work/landing"
+    val s = spark
+    import s.implicits._
+    val leak = (1 to 20).map(i => s"leak$i").mkString(" ")
+    val evalDocs = Seq((100L, s"benchmark with $leak inside")).toDF("doc_id", "text")
+    val docs = Seq(
+      (1L, s"stream doc containing $leak plus extra context words"),
+      (2L, (1 to 30).map(i => s"clean$i").mkString(" "))
+    ).toDF("doc_id", "text")
+    docs.write.parquet(landing)
+    // the corpus side of decontamAgainst as it applies to LANDING data:
+    // shingle explode (stateless) → semi-join against the STATIC eval
+    // shingle set (broadcast; stream-static joins are supported) → per-doc
+    // running counts as an update-mode streaming aggregation. The full
+    // per-doc fraction needs the totals join (a second aggregation —
+    // batch's job); the overlap COUNTS are the stage that wants to run
+    // on data as it lands.
+    val evalSh = DocOps.shingles(evalDocs, DocOps.DecontamK)
+      .select(col("s")).distinct()
+    val stream = spark.readStream.schema(docs.schema).parquet(landing)
+    val flagged = DocOps.shingles(stream, DocOps.DecontamK)
+      .join(broadcast(evalSh), Seq("s"), "left_semi")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_contaminated"))
+    val q = flagged.writeStream.format("memory").queryName("decontam_stream")
+      .outputMode("update").start()
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.table("decontam_stream")
+      .groupBy("doc_id").agg(org.apache.spark.sql.functions.max("n_contaminated")
+        .as("n_contaminated"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // batch ground truth from the full operator
+    val batch = DocOps.decontamAgainst(docs, evalDocs)
+      .where(col("n_contaminated") > 0)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(batch.nonEmpty && streamed === batch)
+  }
+
   test("streaming extraction equals batch extraction; checkpoint resume skips done work") {
     val work = Files.createTempDirectory("graft-stream").toFile.getAbsolutePath
     val landing = s"$work/landing"
