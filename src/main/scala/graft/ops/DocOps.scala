@@ -346,8 +346,12 @@ object DocOps {
     * agg (dup); the five signals join back on doc_id. All divisions are
     * exact int→double, so the DuckDB oracle is bit-identical.
     */
-  def ngramRepetition(docs: DataFrame): DataFrame = {
+  def ngramRepetition(docs0: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // five gram pipelines + the base projection each reference the source
+    // — persist the pruned projection once (6 re-scans in the naive plan)
+    val docs = CacheLedger.track(docs0.select(col("doc_id"), col("text"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val words = split(trim(col("text")), "\\s+")
     def gramTf(n: Int): DataFrame = docs
       .where(length(trim(col("text"))) > 0 && size(words) >= n)
@@ -646,10 +650,13 @@ object DocOps {
     */
   def topTerms(docs: DataFrame, k: Int = 3): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val tf = docs
+    // tf feeds both the df derivation and the final join — persist it or
+    // the scan+explode+aggregate (the dominant cost) runs twice
+    val tf = CacheLedger.track(docs
       .select(col("doc_id"), explode(split(trim(col("text")), "\\s+")).as("term"))
       .where(length(col("term")) > 0)
       .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val w = Window.partitionBy(col("doc_id"))
       .orderBy(col("tf").desc, col("df").asc, col("term"))
