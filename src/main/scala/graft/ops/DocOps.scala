@@ -251,18 +251,33 @@ object DocOps {
   private def charCount(c: Column, charClass: String): Column =
     length(c) - length(regexp_replace(c, charClass, ""))
 
+  /** The four script classes, as code-point ranges for the one-pass
+    * [[graft.functions.CharClassCounts]] kernel (≡ the regex classes
+    * `[A-Za-z]` `[一-鿿]` `[Ѐ-ӿ]` `[؀-ۿ]` —
+    * equivalence spec-asserted incl. astral/surrogate inputs).
+    */
+  private[graft] val ScriptClasses: Seq[Seq[(Int, Int)]] = Seq(
+    Seq(('A'.toInt, 'Z'.toInt), ('a'.toInt, 'z'.toInt)),
+    Seq((0x4E00, 0x9FFF)),
+    Seq((0x0400, 0x04FF)),
+    Seq((0x0600, 0x06FF)))
+
   /** Script-profile language ID (n-gram-free heuristic: per-script char
-    * counts → dominant script). Counts are regex-expressible so the DuckDB
-    * oracle replicates them exactly. `idCols` pass through, so the same op
-    * runs over the documents corpus and over extracted per-turn markdown.
+    * counts → dominant script). All four class counts come from ONE
+    * codegen'd pass over the text (round 5; the regex idiom ran four full
+    * regex passes and allocated four stripped copies per row). Counts are
+    * regex-expressible so the DuckDB oracle replicates them exactly.
+    * `idCols` pass through, so the same op runs over the documents corpus
+    * and over extracted per-turn markdown.
     */
   def langIdFor(df: DataFrame, idCols: Seq[String], textCol: String): DataFrame = {
-    val t = col(textCol)
-    val latin = charCount(t, "[A-Za-z]")
-    val cjk = charCount(t, "[\\u4E00-\\u9FFF]")
-    val cyr = charCount(t, "[\\u0400-\\u04FF]")
-    val arab = charCount(t, "[\\u0600-\\u06FF]")
-    df.select(idCols.map(col) ++ Seq(
+    val counts = graft.functions.CharClassCounts
+      .char_class_counts(col(textCol), ScriptClasses)
+    val latin = col("__cc").getItem(0)
+    val cjk = col("__cc").getItem(1)
+    val cyr = col("__cc").getItem(2)
+    val arab = col("__cc").getItem(3)
+    df.withColumn("__cc", counts).select(idCols.map(col) ++ Seq(
       latin.as("latin_chars"), cjk.as("cjk_chars"),
       cyr.as("cyr_chars"), arab.as("arab_chars"),
       when(cjk >= greatest(latin, cyr, arab) && cjk > 0, "cjk")
@@ -281,15 +296,24 @@ object DocOps {
     * All arithmetic is plain double ops in a fixed order so the oracle's
     * IEEE results are bit-identical.
     */
+  /** ASCII punct (the four ranges of `[!-/:-@\[-`{-~]`) + digits. */
+  private[graft] val QualityClasses: Seq[Seq[(Int, Int)]] = Seq(
+    Seq((33, 47), (58, 64), (91, 96), (123, 126)),
+    Seq(('0'.toInt, '9'.toInt)))
+
   def qualityScore(docs: DataFrame): DataFrame = {
     val t = col("text")
     val words = split(trim(t), "\\s+")
     val nWords = when(length(trim(t)) === 0, 0).otherwise(size(words))
     val nChars = length(t)
-    val punct = charCount(t, "[!-/:-@\\[-`{-~]") // ASCII punct, RE2-safe
-    val digits = charCount(t, "[0-9]")
+    // one codegen'd pass for both char classes (round 5; was two regex
+    // passes + two stripped copies per row)
+    val punct = col("__qc").getItem(0)
+    val digits = col("__qc").getItem(1)
     val stops = size(filter(words, w => w.isin(Stopwords.map(s => s: Any): _*)))
-    docs.select(col("doc_id"), nChars.as("n_chars_m"), nWords.as("n_words"),
+    docs.withColumn("__qc", graft.functions.CharClassCounts
+        .char_class_counts(t, QualityClasses))
+      .select(col("doc_id"), nChars.as("n_chars_m"), nWords.as("n_words"),
         punct.as("punct_chars"), digits.as("digit_chars"), stops.as("stop_words"))
       .withColumn("punct_ratio", col("punct_chars").cast("double") / col("n_chars_m"))
       .withColumn("stop_ratio",
@@ -766,7 +790,9 @@ object DocOps {
     val words = split(trim(t), "\\s+")
     val nWords = when(length(trim(t)) === 0, 0L).otherwise(size(words).cast("long"))
     docs.select(col("source"), length(t).cast("long").as("c"), nWords.as("w"),
-        (length(t) - length(regexp_replace(t, "[A-Za-z]", ""))).cast("long").as("a"))
+        graft.functions.CharClassCounts.char_class_counts(t,
+          Seq(Seq(('A'.toInt, 'Z'.toInt), ('a'.toInt, 'z'.toInt))))
+          .getItem(0).as("a"))
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"),
         sum(col("c")).as("total_chars"),

@@ -112,6 +112,54 @@ class ExpressionSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(a.values.forall(_.length === DocOps.NumHashes))
   }
 
+  test("CharClassCounts equals the regex idiom on adversarial unicode, codegen runs") {
+    import graft.functions.CharClassCounts.char_class_counts
+    import graft.ops.DocOps
+    val s = spark
+    import s.implicits._
+    // adversarial inputs: every script class, class boundaries, astral
+    // (4-byte UTF-8) chars, empty, pure ASCII punct, mixed
+    val rnd = new scala.util.Random(42)
+    val pools = Seq(
+      ('A' to 'Z') ++ ('a' to 'z'), '0' to '9', '!' to '/', ':' to '@',
+      (0x4E00 to 0x4E20).map(_.toChar), Seq(0x4DFF.toChar, 0xA000.toChar),
+      (0x400 to 0x40F).map(_.toChar), Seq(0x3FF.toChar, 0x500.toChar),
+      (0x600 to 0x60F).map(_.toChar), Seq(0x5FF.toChar, 0x700.toChar),
+      Seq(' ', '\n', '\t'), Seq(0x1F600, 0x1F4A9).flatMap(Character.toChars(_).toSeq))
+    val cases = Seq("", "plain ascii text!", "混合 mixed 文字 and Ж ع") ++
+      (1 to 200).map { _ =>
+        val len = rnd.nextInt(40)
+        (0 until len).map { _ =>
+          val p = pools(rnd.nextInt(pools.size)); p(rnd.nextInt(p.size))
+        }.mkString
+      }
+    val df = cases.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("id", "text")
+    val classes = DocOps.ScriptClasses ++ DocOps.QualityClasses
+    val regexes = Seq("[A-Za-z]", "[\\u4E00-\\u9FFF]", "[\\u0400-\\u04FF]",
+      "[\\u0600-\\u06FF]", "[!-/:-@\\[-`{-~]", "[0-9]")
+    val cc = col("__cc")
+    val checks = regexes.zipWithIndex.map { case (re, i) =>
+      (cc.getItem(i) =!=
+        (length(col("text")) - length(regexp_replace(col("text"), re, "")))
+          .cast("long")).as(s"bad$i")
+    }
+    val bad = df.withColumn("__cc", char_class_counts(col("text"), classes))
+      .where(checks.reduce(_ || _)).count()
+    assert(bad === 0L)
+    // the rewired ops still equal their regex formulations on real docs
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val oldLang = docs.select(col("doc_id"),
+      (length(col("text")) - length(regexp_replace(col("text"), "[A-Za-z]", "")))
+        .cast("long").as("latin_chars"))
+    val newLang = DocOps.langId(docs).select(col("doc_id"), col("latin_chars"))
+    assert(newLang.exceptAll(oldLang).count() === 0L)
+    // codegen path actually runs (no fallback): the `*(n)` prefix marks
+    // whole-stage-codegen stages, and the expression sits inside one
+    val plan = DocOps.langId(docs).queryExecution.executedPlan.toString
+    assert(plan.contains("*(1) Project") && plan.contains("charclasscounts"), plan)
+  }
+
   test("null semantics: null array -> null; short arrays use common prefix") {
     VectorExpressions.register(spark)
     val r = spark.sql(
