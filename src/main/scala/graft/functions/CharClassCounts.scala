@@ -23,8 +23,10 @@ import org.apache.spark.unsafe.types.UTF8String
   * all are): each matching char is one UTF-16 unit, so unit counts equal
   * code-point counts; astral code points (≥ U+10000) match no BMP class
   * in either formulation (spec-asserted vs the regex formulation,
-  * including surrogates). Assumes valid UTF-8 (Spark guarantees it for
-  * its strings); `classes` is plan-time static, like [[MinhashMix]]'s n.
+  * including surrogates). Malformed UTF-8 (possible via binary→string
+  * casts of unvalidated parquet bytes) never reads past the buffer: a
+  * truncated multi-byte tail counts as one no-class code point.
+  * `classes` is plan-time static, like [[MinhashMix]]'s n.
   */
 case class CharClassCounts(child: Expression, classes: Seq[Seq[(Int, Int)]])
     extends UnaryExpression {
@@ -68,12 +70,21 @@ object CharClassCounts {
       var cp = 0
       var len = 1
       if (b0 < 0x80) { cp = b0 }
-      else if (b0 < 0xE0) {
-        cp = ((b0 & 0x1F) << 6) | (s.getByte(i + 1) & 0x3F); len = 2
-      } else if (b0 < 0xF0) {
-        cp = ((b0 & 0x0F) << 12) | ((s.getByte(i + 1) & 0x3F) << 6) |
-          (s.getByte(i + 2) & 0x3F); len = 3
-      } else { cp = 0x10000; len = 4 } // astral: in no BMP class
+      else if (b0 < 0xE0) len = 2
+      else if (b0 < 0xF0) len = 3
+      else len = 4 // astral: in no BMP class
+      if (len > 1) {
+        // Spark guarantees valid UTF-8 for strings it built itself, but a
+        // binary parquet column cast to string is NOT validated — a
+        // truncated multi-byte sequence at end-of-buffer must not drive
+        // getByte (Platform.getByte, unbounded) past the allocation.
+        // Treat the malformed tail as a single no-class code point.
+        if (i + len > n) { cp = -1; len = n - i }
+        else if (len == 2) cp = ((b0 & 0x1F) << 6) | (s.getByte(i + 1) & 0x3F)
+        else if (len == 3) cp = ((b0 & 0x0F) << 12) |
+          ((s.getByte(i + 1) & 0x3F) << 6) | (s.getByte(i + 2) & 0x3F)
+        else cp = 0x10000
+      }
       var c = 0
       while (c < classes.length) {
         val rs = classes(c)

@@ -160,6 +160,34 @@ class ExpressionSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(plan.contains("*(1) Project") && plan.contains("charclasscounts"), plan)
   }
 
+  test("CharClassCounts never reads past a truncated multi-byte UTF-8 tail") {
+    import graft.functions.CharClassCounts
+    import org.apache.spark.unsafe.types.UTF8String
+    val classes = (graft.ops.DocOps.ScriptClasses ++
+      graft.ops.DocOps.QualityClasses)
+      .map(_.flatMap(r => Seq(r._1, r._2)).toArray).toArray
+    // valid prefix "aZ9!" + every truncated-leading-byte shape: 2-byte
+    // lead alone, 3-byte lead with 0 and 1 continuations, 4-byte lead
+    // with 0..2 continuations — each buffer ENDS inside a sequence, the
+    // exact case that drove unchecked getByte past the allocation
+    val prefix = "aZ9!".getBytes("UTF-8")
+    val tails = Seq(
+      Array(0xC3), Array(0xE4), Array(0xE4, 0xB8), Array(0xF0),
+      Array(0xF0, 0x9F), Array(0xF0, 0x9F, 0x98)).map(_.map(_.toByte))
+    for (tail <- tails) {
+      val out = CharClassCounts.countAll(
+        UTF8String.fromBytes(prefix ++ tail), classes)
+      // the malformed tail is one no-class code point; the valid prefix
+      // still counts (1 latin-ish a, 1 A-Z, 1 digit, 1 punct)
+      assert(out.toSeq === Seq(2L, 0L, 0L, 0L, 1L, 1L), tail.mkString(","))
+    }
+    // a truncated tail mid-buffer (continuation bytes replaced by a valid
+    // ASCII byte) stays in-bounds too and the trailing ASCII still counts
+    val weird = UTF8String.fromBytes(prefix ++ Array(0xE4.toByte, 'x'.toByte))
+    val out2 = CharClassCounts.countAll(weird, classes)
+    assert(out2.sum >= 4L) // no crash, prefix counted; 0xE4 consumed 'x'
+  }
+
   test("null semantics: null array -> null; short arrays use common prefix") {
     VectorExpressions.register(spark)
     val r = spark.sql(
