@@ -267,6 +267,16 @@ object SparkEntry {
     "doc_decontam" -> ((s, dir) =>
       DocOps.decontaminate(docs(s, dir)).orderBy("doc_id")),
 
+    // span-level decontamination (round 6): WHICH shingle positions
+    // overlap the eval split, enabling excise-not-drop
+    "doc_decontam_spans" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val ev = DocOps.evalSplit(d)
+      DocOps.decontamSpans(
+        d.join(ev.select(col("doc_id")), Seq("doc_id"), "left_anti"), ev,
+        broadcastEval = false).orderBy("doc_id")
+    }),
+
     // corpus top-k word frequencies (exact complement of doc_word_hll)
     "doc_word_topk" -> ((s, dir) => DocOps.wordTopK(docs(s, dir))),
 
@@ -314,6 +324,12 @@ object SparkEntry {
     // sequence packing: bucket-parallel token cumsum → (pack_id, offset)
     "doc_pack_sequences" -> ((s, dir) =>
       DocOps.packSequences(docs(s, dir)).orderBy("doc_id")),
+
+    // the same packing budgeted by the BPE-ish tokenizer segmentation
+    // (round 6): trainers pack by tokenizer counts, not words
+    "doc_pack_sequences_bpe" -> ((s, dir) =>
+      DocOps.packSequences(docs(s, dir), tokenizer = "bpe_ish")
+        .orderBy("doc_id")),
 
     "doc_fingerprint" -> ((s, dir) => DocOps.fingerprint(docs(s, dir)).orderBy("doc_id")),
 
@@ -620,6 +636,15 @@ object SparkEntry {
     "doc_decontam" ->
       s"""WITH $DecontamCtes SELECT c.doc_id, coalesce(tot.n, CAST(0 AS BIGINT)) AS n_shingles, coalesce(flag.nc, CAST(0 AS BIGINT)) AS n_contaminated, CASE WHEN coalesce(tot.n, 0) = 0 THEN 0.0 ELSE CAST(coalesce(flag.nc, 0) AS DOUBLE) / CAST(tot.n AS DOUBLE) END AS contaminated_frac FROM corpus c LEFT JOIN tot ON tot.doc_id = c.doc_id LEFT JOIN flag ON flag.doc_id = c.doc_id ORDER BY c.doc_id""",
 
+    // span-level decontamination: positioned (non-distinct) shingle
+    // occurrences recomputed via unnest(range) + i-1, matched against the
+    // same eval shingle set, positions comma-joined in ascending order
+    "doc_decontam_spans" -> {
+      val cat = (0 until DocOps.DecontamK)
+        .map(j => if (j == 0) "w[i]" else s"w[i+$j]").mkString(" || ' ' || ")
+      s"""WITH $DecontamCtes, pw AS (SELECT doc_id, unnest(range(1, len(w)-${DocOps.DecontamK - 2})) AS i, w FROM words WHERE len(w) >= ${DocOps.DecontamK} AND doc_id IN (SELECT doc_id FROM corpus)), psh AS (SELECT doc_id, i - 1 AS pos, $cat AS s FROM pw) SELECT doc_id, CAST(count(*) AS BIGINT) AS n_matches, string_agg(CAST(pos AS VARCHAR), ',' ORDER BY pos) AS span_starts FROM psh WHERE s IN (SELECT s FROM evs) GROUP BY doc_id ORDER BY doc_id"""
+    },
+
     // first-occurrence line dedup: DuckDB's list_distinct is unordered, so
     // the oracle numbers lines and keeps rn=1 per (doc, line) via a window
     "doc_dedup_lines" ->
@@ -673,6 +698,11 @@ object SparkEntry {
     // sequence packing: the same windowed integer cumsum per hash bucket
     "doc_pack_sequences" ->
       """WITH t AS (SELECT doc_id, CASE WHEN length(trim(text)) = 0 THEN CAST(0 AS BIGINT) ELSE CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) END AS n_tokens, CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 32 AS bucket FROM documents), c AS (SELECT doc_id, bucket, n_tokens, CAST(sum(n_tokens) OVER (PARTITION BY bucket ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum FROM t) SELECT doc_id, bucket, n_tokens, CAST(floor(CAST(cum - n_tokens AS DOUBLE) / 2048.0) AS BIGINT) AS pack_id, (cum - n_tokens) % 2048 AS pack_offset FROM c ORDER BY doc_id""",
+
+    // BPE-ish packing: same windowed cumsum, token counts from the same
+    // regex segmentation as doc_tokens' bpe_ish_tokens
+    "doc_pack_sequences_bpe" ->
+      """WITH t AS (SELECT doc_id, CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS n_tokens, CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 32 AS bucket FROM documents), c AS (SELECT doc_id, bucket, n_tokens, CAST(sum(n_tokens) OVER (PARTITION BY bucket ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum FROM t) SELECT doc_id, bucket, n_tokens, CAST(floor(CAST(cum - n_tokens AS DOUBLE) / 2048.0) AS BIGINT) AS pack_id, (cum - n_tokens) % 2048 AS pack_offset FROM c ORDER BY doc_id""",
 
     // per-source report: integer sums merged then ratios derived
     "doc_source_report" ->

@@ -24,10 +24,17 @@ object CacheLedger {
 
   /** Unpersist every tracked intermediate (non-blocking). Safe to call at
     * any time: Spark recomputes dropped blocks if a plan still needs them,
-    * so releasing "too early" costs recompute, never correctness.
+    * so releasing "too early" costs recompute, never correctness. Frames
+    * whose owning SparkSession has since been STOPPED are drained silently
+    * — their blocks died with the context, and unpersist against a dead
+    * context throws (round 6: surfaced by cross-suite ledger residue).
     */
   def release(): Unit = {
     var df = tracked.poll()
-    while (df != null) { df.unpersist(blocking = false); df = tracked.poll() }
+    while (df != null) {
+      try df.unpersist(blocking = false)
+      catch { case scala.util.control.NonFatal(_) => }
+      df = tracked.poll()
+    }
   }
 }

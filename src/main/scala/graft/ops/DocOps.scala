@@ -120,23 +120,7 @@ object DocOps {
     * whose text shingles at all (≥ k words), like the direct formulation.
     */
   def nearDups(docs: DataFrame, tau: Double = 0.5): DataFrame = {
-    // the (digest, doc_id) membership table is referenced by FIVE branches
-    // (reps, both expansion sides, both within-group sides) — without a
-    // persist each branch re-hashes the ENTIRE corpus text; the table
-    // itself is doc-count-proportional (36 B/doc), never corpus-bytes
-    val members = CacheLedger.track(
-      docs.select(md5(col("text")).as("g"), col("doc_id"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-    val reps = CacheLedger.track(
-      members.groupBy(col("g"))
-        .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_members"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-    val repDocs = docs.join(reps.select(col("doc_id")), Seq("doc_id"), "left_semi")
-
-    val sh = CacheLedger.track(shingles(repDocs)
-      .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY))
-    val repPairs =
-      verifyJaccard(lshCandidates(lshBands(minhashSignatures(sh))), sh, tau)
+    val (members, reps, sh, repPairs) = nearDupCore(docs, tau)
 
     // expand representative pairs to every (member of A, member of B)
     val repToG = reps.select(col("g"), col("doc_id").as("rep"))
@@ -160,6 +144,63 @@ object DocOps {
       .select(col("doc_a"), col("doc_b"), lit(1.0).as("jaccard"))
 
     cross.union(within).orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** Shared trunk of [[nearDups]] and [[nearDupEdges]]: digest-collapse →
+    * shingle representatives → LSH candidates → exact-Jaccard verify.
+    * Returns (members, reps, repShingles, repPairs).
+    */
+  private def nearDupCore(docs: DataFrame, tau: Double)
+      : (DataFrame, DataFrame, DataFrame, DataFrame) = {
+    // the (digest, doc_id) membership table is referenced by several
+    // branches (reps, both expansion/star sides) — without a persist each
+    // branch re-hashes the ENTIRE corpus text; the table itself is
+    // doc-count-proportional (36 B/doc), never corpus-bytes
+    val members = CacheLedger.track(
+      docs.select(md5(col("text")).as("g"), col("doc_id"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val reps = CacheLedger.track(
+      members.groupBy(col("g"))
+        .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_members"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val repDocs = docs.join(reps.select(col("doc_id")), Seq("doc_id"), "left_semi")
+
+    val sh = CacheLedger.track(shingles(repDocs)
+      .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY))
+    val repPairs =
+      verifyJaccard(lshCandidates(lshBands(minhashSignatures(sh))), sh, tau)
+    (members, reps, sh, repPairs)
+  }
+
+  /** LINEAR-SIZE edge feed for connected components — same components as
+    * [[nearDups]]' pair relation, O(groups + members) edges instead of the
+    * pair report's deliberate k² expansion of duplicate groups.
+    *
+    * Emits exactly:
+    *  - one (rep_a, rep_b) edge per verified representative pair — the
+    *    cross-group connectivity;
+    *  - one (rep, member) STAR edge per non-representative member of every
+    *    duplicate group that shingles at all (< k-word texts produce no
+    *    pairs in nearDups, so their groups stay disconnected here too).
+    *
+    * Union-of-stars + rep pairs has the identical transitive closure as
+    * the expanded pair relation (every member is ≤1 hop from its rep,
+    * which carries all cross-group edges), so [[keepersFromEdges]] over
+    * this feed is byte-identical to the expanded feed — spec-asserted,
+    * including a degenerate 10k-copy duplicate group that costs 9,999 star
+    * edges here vs ~5·10⁷ expanded pairs. This is the CC input; the pair
+    * relation keeps its report contract (per-pair Jaccard) in [[nearDups]].
+    */
+  def nearDupEdges(docs: DataFrame, tau: Double = 0.5): DataFrame = {
+    val (members, reps, sh, repPairs) = nearDupCore(docs, tau)
+    val shingledReps = sh.select(col("doc_id")).distinct()
+    val starGroups = reps.where(col("n_members") >= 2)
+      .join(shingledReps, Seq("doc_id"), "left_semi")
+      .select(col("g"), col("doc_id").as("rep"))
+    val star = members.join(starGroups, Seq("g"))
+      .where(col("doc_id") =!= col("rep"))
+      .select(col("rep").as("doc_a"), col("doc_id").as("doc_b"))
+    repPairs.select(col("doc_a"), col("doc_b")).union(star)
   }
 
   /** Brute-force n-gram Jaccard over ALL pairs via shingle inverted index —
@@ -270,14 +311,23 @@ object DocOps {
     * `idCols` pass through, so the same op runs over the documents corpus
     * and over extracted per-turn markdown.
     */
+  /** A staging-column name guaranteed absent from `df` — `withColumn` with
+    * a fixed internal name would silently REPLACE a caller column that
+    * happens to share it (langIdFor/qualityScore take arbitrary frames).
+    */
+  private def freshCol(df: DataFrame, base: String): String =
+    Iterator.from(0).map(i => if (i == 0) base else s"$base$i")
+      .find(n => !df.columns.contains(n)).get
+
   def langIdFor(df: DataFrame, idCols: Seq[String], textCol: String): DataFrame = {
     val counts = graft.functions.CharClassCounts
       .char_class_counts(col(textCol), ScriptClasses)
-    val latin = col("__cc").getItem(0)
-    val cjk = col("__cc").getItem(1)
-    val cyr = col("__cc").getItem(2)
-    val arab = col("__cc").getItem(3)
-    df.withColumn("__cc", counts).select(idCols.map(col) ++ Seq(
+    val cc = freshCol(df, "__cc")
+    val latin = col(cc).getItem(0)
+    val cjk = col(cc).getItem(1)
+    val cyr = col(cc).getItem(2)
+    val arab = col(cc).getItem(3)
+    df.withColumn(cc, counts).select(idCols.map(col) ++ Seq(
       latin.as("latin_chars"), cjk.as("cjk_chars"),
       cyr.as("cyr_chars"), arab.as("arab_chars"),
       when(cjk >= greatest(latin, cyr, arab) && cjk > 0, "cjk")
@@ -308,10 +358,11 @@ object DocOps {
     val nChars = length(t)
     // one codegen'd pass for both char classes (round 5; was two regex
     // passes + two stripped copies per row)
-    val punct = col("__qc").getItem(0)
-    val digits = col("__qc").getItem(1)
+    val qc = freshCol(docs, "__qc")
+    val punct = col(qc).getItem(0)
+    val digits = col(qc).getItem(1)
     val stops = size(filter(words, w => w.isin(Stopwords.map(s => s: Any): _*)))
-    docs.withColumn("__qc", graft.functions.CharClassCounts
+    docs.withColumn(qc, graft.functions.CharClassCounts
         .char_class_counts(t, QualityClasses))
       .select(col("doc_id"), nChars.as("n_chars_m"), nWords.as("n_words"),
         punct.as("punct_chars"), digits.as("digit_chars"), stops.as("stop_words"))
@@ -496,18 +547,24 @@ object DocOps {
     * a training-data pipeline computes before training (docs overlapping
     * the benchmark are dropped or split-corrected).
     *
-    * 100-TB shape: the eval set is a benchmark — tiny next to the corpus —
-    * so its distinct shingle table BROADCASTS and the corpus-side
-    * semi-join is map-side (no shuffle of the corpus shingle stream;
-    * plan-asserted). The per-doc counts are partial-aggregated (doc_id,
-    * long) pairs. Docs too short to shingle (< k words) report 0/0 → 0.0.
+    * 100-TB shape: when the eval set is a benchmark — tiny next to the
+    * corpus — its distinct shingle table BROADCASTS (`broadcastEval =
+    * true`, the default) and the corpus-side semi-join is map-side (no
+    * shuffle of the corpus shingle stream; plan-asserted). When the eval
+    * side is itself corpus-sized (a holdout SPLIT, as in [[decontaminate]])
+    * a broadcast would ship ~10% of the corpus's shingles to every
+    * executor — pass `broadcastEval = false` for a shuffle semi-join
+    * instead. The per-doc counts are partial-aggregated (doc_id, long)
+    * pairs. Docs too short to shingle (< k words) report 0/0 → 0.0.
     */
   def decontamAgainst(corpus: DataFrame, evalDocs: DataFrame,
-                      k: Int = DecontamK): DataFrame = {
-    val evalSh = shingles(evalDocs, k).select(col("s")).distinct()
+                      k: Int = DecontamK,
+                      broadcastEval: Boolean = true): DataFrame = {
+    val evalSh0 = shingles(evalDocs, k).select(col("s")).distinct()
+    val evalSh = if (broadcastEval) broadcast(evalSh0) else evalSh0
     val sh = shingles(corpus, k)
     val totals = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
-    val flagged = sh.join(broadcast(evalSh), Seq("s"), "left_semi")
+    val flagged = sh.join(evalSh, Seq("s"), "left_semi")
       .groupBy(col("doc_id")).agg(count(lit(1)).as("n_con"))
     corpus.select(col("doc_id"))
       .join(totals, Seq("doc_id"), "left")
@@ -522,13 +579,61 @@ object DocOps {
   }
 
   /** [[decontamAgainst]] over the deterministic holdout split: eval = the
-    * hash-selected ~10%, corpus = the rest.
+    * hash-selected ~10%, corpus = the rest. The eval side here is a
+    * corpus SPLIT, not a tiny benchmark, so the shingle semi-join runs as
+    * a shuffle (`broadcastEval = false`) — broadcasting ~10% of a 100-TB
+    * corpus's distinct shingles would be the wrong shape.
     */
   def decontaminate(docs: DataFrame, k: Int = DecontamK): DataFrame = {
     val ev = evalSplit(docs)
     decontamAgainst(
       docs.join(ev.select(col("doc_id")), Seq("doc_id"), "left_anti"),
-      ev, k)
+      ev, k, broadcastEval = false)
+  }
+
+  /** Positioned k-shingles: (doc_id, pos, s) with pos = the 0-based word
+    * index of the shingle's first word. Unlike [[shingles]] the stream is
+    * NOT distinct — span reporting needs every occurrence, each at its own
+    * position.
+    */
+  private[graft] def shinglesPositioned(docs: DataFrame, k: Int): DataFrame = {
+    val words = split(trim(col("text")), "\\s+")
+    docs
+      .select(col("doc_id"), words.as("w"))
+      .where(size(col("w")) >= k)
+      .select(col("doc_id"),
+        posexplode(transform(
+          sequence(lit(1), size(col("w")) - (k - 1)),
+          i => concat_ws(" ", slice(col("w"), i, lit(k))))).as(Seq("pos", "s")))
+  }
+
+  /** Span-level decontamination detail (round 6) — WHICH parts of a doc
+    * overlap the eval set, so a split-correction pipeline can EXCISE the
+    * contaminated spans instead of dropping the whole document
+    * ([[decontamAgainst]] reports only counts/fractions). One row per
+    * contaminated doc: the number of matched shingle occurrences and
+    * their start WORD indices (0-based, ascending, comma-joined into a
+    * scalar the driver harness can sort/hash; each span covers words
+    * [start, start + k)). Every occurrence reports its position — unlike
+    * the count op's distinct-shingle stream — because excision needs all
+    * of them.
+    *
+    * 100-TB shape: identical to [[decontamAgainst]] — the eval shingle
+    * set broadcasts when it is a tiny benchmark (`broadcastEval = true`)
+    * or shuffle-semi-joins when it is a corpus split; only (doc_id, pos)
+    * ints and the matched shingle strings reach the per-doc aggregate.
+    */
+  def decontamSpans(corpus: DataFrame, evalDocs: DataFrame,
+                    k: Int = DecontamK,
+                    broadcastEval: Boolean = true): DataFrame = {
+    val evalSh0 = shingles(evalDocs, k).select(col("s")).distinct()
+    val evalSh = if (broadcastEval) broadcast(evalSh0) else evalSh0
+    shinglesPositioned(corpus, k)
+      .join(evalSh, Seq("s"), "left_semi")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_matches"),
+        array_join(transform(array_sort(collect_list(col("pos"))),
+          p => p.cast("string")), ",").as("span_starts"))
   }
 
   /** End-to-end corpus-cleaning verdict — the composition the individual
@@ -565,7 +670,9 @@ object DocOps {
     val gp = gopherRules(docs).select(col("doc_id"), col("gopher_pass"))
     val corpusDocs = docs.join(evDocs.select(col("doc_id")),
       Seq("doc_id"), "left_anti")
-    val contam = decontamAgainst(corpusDocs, evDocs)
+    // eval here is the ~10% holdout split, not a tiny benchmark → shuffle
+    // semi-join, same reasoning as decontaminate()
+    val contam = decontamAgainst(corpusDocs, evDocs, broadcastEval = false)
       .select(col("doc_id"), col("contaminated_frac"))
     docs.select(col("doc_id"))
       .join(ev, Seq("doc_id"), "left")
@@ -744,10 +851,21 @@ object DocOps {
     * is integer, so the DuckDB window replay is exact.
     */
   def packSequences(docs: DataFrame, budget: Long = 2048,
-                    nBuckets: Int = 32): DataFrame = {
+                    nBuckets: Int = 32,
+                    tokenizer: String = "ws"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val toks = when(length(trim(col("text"))) === 0, 0L)
-      .otherwise(size(split(trim(col("text")), "\\s+")).cast("long"))
+    // trainers pack by TOKENIZER counts, not words — "bpe_ish" budgets by
+    // the same segmentation tokenStats reports (letter runs | digit runs |
+    // single other-symbol), "ws" by whitespace words
+    val toks = tokenizer match {
+      case "ws" => when(length(trim(col("text"))) === 0, 0L)
+        .otherwise(size(split(trim(col("text")), "\\s+")).cast("long"))
+      case "bpe_ish" =>
+        regexp_count(col("text"), lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"))
+          .cast("long")
+      case other => throw new IllegalArgumentException(
+        s"unknown tokenizer '$other' (expected ws | bpe_ish)")
+    }
     val w = Window.partitionBy(col("bucket")).orderBy(col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     docs.select(col("doc_id"), toks.as("n_tokens"))
@@ -842,14 +960,15 @@ object DocOps {
     * Algorithm: alternating large-star/small-star over the edge set (see
     * [[componentLabels]]; Kiveris et al., SoCC'14) — ~log₂(diameter)
     * rounds even on adversarial high-diameter graphs, where round 3's
-    * propagate+pointer-jump stagnated to Θ(diameter). The edge set (output
-    * of the bucketed LSH near-dup pass) is tiny relative to the corpus:
-    * per-round cost is two groupBy-min + join passes over (id, id) rows
-    * only, never text.
+    * propagate+pointer-jump stagnated to Θ(diameter). The edge set is the
+    * LINEAR [[nearDupEdges]] feed (round 6): rep-level verified pairs plus
+    * (rep, member) star edges — a degenerate million-copy duplicate group
+    * contributes O(k) edges, not the k² pairs the report-shaped [[nearDups]]
+    * relation deliberately expands to. Per-round cost is two groupBy-min +
+    * join passes over (id, id) rows only, never text.
     */
   def dedupKeepers(docs: DataFrame, tau: Double = 0.5, maxIters: Int = 25): DataFrame =
-    keepersFromEdges(docs,
-      nearDups(docs, tau).select(col("doc_a"), col("doc_b")), maxIters)
+    keepersFromEdges(docs, nearDupEdges(docs, tau), maxIters)
 
   /** [[dedupKeepers]] with an explicit edge set — the same CC fixpoint over
     * any near-dup relation (MinHash, SimHash, embedding-cosine), and the

@@ -91,6 +91,50 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       .map(r => r.getLong(0) -> r.getLong(1)).toMap === Map(7L -> 7L, 8L -> 8L))
   }
 
+  test("linear edge feed: identical components as the expanded pair relation") {
+    // dedupKeepers now consumes nearDupEdges (rep pairs + star edges)
+    // instead of nearDups' k²-expanded pair relation; on the real corpus
+    // the keeper assignment must be identical row-for-row
+    val viaEdges = DocOps.dedupKeepers(docs, 0.5).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val viaPairs = DocOps.keepersFromEdges(docs,
+      DocOps.nearDups(docs, 0.5).select("doc_a", "doc_b")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaEdges === viaPairs)
+    assert(viaEdges.exists { case (d, k) => d != k },
+      "corpus should contain planted near-dups")
+  }
+
+  test("linear edge feed: 10k-copy duplicate group costs O(k) edges, not k²") {
+    val s = spark
+    import s.implicits._
+    val k = 10000
+    // one degenerate group of k byte-identical docs, one near-dup of its
+    // text (a rep-level pair), one non-shingling duplicate pair (< 3
+    // words: must stay disconnected, exactly like the pair relation), one
+    // isolated doc
+    val dupText = (1 to 20).map(i => s"tok$i").mkString(" ")
+    val nearText = (3 to 22).map(i => s"tok$i").mkString(" ") // J = 18/22 ≥ τ
+    val d = ((0 until k).map(i => (i.toLong, dupText)) ++ Seq(
+      (20000L, nearText),
+      (30000L, "two words"), (30001L, "two words"),
+      (40000L, (50 to 69).map(i => s"x$i").mkString(" "))))
+      .toDF("doc_id", "text").repartition(4)
+    val edges = DocOps.nearDupEdges(d, 0.5).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    // k-1 star edges (rep 0 → members 1..k-1) + 1 rep pair (0, 20000) —
+    // the expanded pair relation would be k(k-1)/2 + k ≈ 5·10⁷ rows
+    assert(edges.length === k)
+    assert(edges.count(_._1 == 0L) + edges.count(_._2 == 0L) === k)
+    val keepers = DocOps.dedupKeepers(d, 0.5).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(keepers.size === k + 4)
+    assert((0 until k).forall(i => keepers(i.toLong) == 0L))
+    assert(keepers(20000L) === 0L) // connected through the rep pair
+    assert(keepers(30000L) === 30000L && keepers(30001L) === 30001L)
+    assert(keepers(40000L) === 40000L)
+  }
+
   test("keepers CC fixpoint: 10k-node path converges in O(log diameter) rounds, constant plan") {
     val s = spark
     import s.implicits._
@@ -252,6 +296,79 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val out = DocOps.decontaminate(docs).collect()
     assert(out.length.toLong === docs.count() - evIds.size)
     assert(out.forall(x => !evIds.contains(x.getLong(0))))
+    // split-mode shape (round 6): the eval side is ~10% of the corpus, so
+    // the plan must not FORCE a broadcast of its shingle set (at corpus
+    // scale the size estimate exceeds the threshold and Catalyst picks a
+    // shuffle semi-join; at this test scale it may still auto-broadcast
+    // by size — which is fine, that's a size-based physical choice, not
+    // the unconditional hint the benchmark path uses)
+    val splitHints = DocOps.decontaminate(docs).queryExecution.analyzed.collect {
+      case h: org.apache.spark.sql.catalyst.plans.logical.ResolvedHint => h
+    }
+    assert(splitHints.isEmpty, splitHints.mkString("\n"))
+    val benchHints = DocOps.decontamAgainst(corpus, evalDocs)
+      .queryExecution.analyzed.collect {
+        case h: org.apache.spark.sql.catalyst.plans.logical.ResolvedHint => h
+      }
+    assert(benchHints.nonEmpty) // benchmark mode DOES force the broadcast
+    // same results either shape: the join strategy is a physical choice
+    val viaShuffle = DocOps.decontamAgainst(corpus, evalDocs,
+        broadcastEval = false).collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getLong(2))).sorted.toVector
+    assert(viaShuffle === r.values.toVector
+      .map(x => (x.getLong(0), x.getLong(1), x.getLong(2))).sorted)
+  }
+
+  test("decontam spans report exact matched word positions (excise-not-drop)") {
+    val s = spark
+    import s.implicits._
+    val leak = (1 to 15).map(i => s"leak$i").mkString(" ")
+    val evalDocs = Seq(
+      (100L, s"benchmark question about $leak and its answer")
+    ).toDF("doc_id", "text")
+    val corpus = Seq(
+      // words: prefix(0) words(1) here(2) leak1(3)..leak15(17) suffix(18)
+      // tail(19) → the 13-gram windows fully inside the leak run start at
+      // word indices 3, 4, 5; no other window matches
+      (1L, s"prefix words here $leak suffix tail"),
+      (2L, (1 to 40).map(i => s"clean$i").mkString(" ")),
+      // duplicate occurrences both report: leak at starts 0 AND 17
+      (3L, s"$leak xx $leak")
+    ).toDF("doc_id", "text")
+    val r = DocOps.decontamSpans(corpus, evalDocs).collect()
+      .map(x => x.getLong(0) -> x).toMap
+    assert(r.keySet === Set(1L, 3L)) // clean doc absent, by contract
+    assert(r(1L).getLong(1) === 3L)
+    assert(r(1L).getString(2) === "3,4,5")
+    // second leak run starts at word index 16 (15 leak words + "xx")
+    assert(r(3L).getLong(1) === 6L)
+    assert(r(3L).getString(2) === "0,1,2,16,17,18")
+    // span positions index the SAME tokenization the count op uses: doc 1
+    // matched-shingle count via spans == decontamAgainst's distinct count
+    // here (all matched shingles distinct in doc 1)
+    val counts = DocOps.decontamAgainst(corpus, evalDocs).collect()
+      .map(x => x.getLong(0) -> x.getLong(2)).toMap
+    assert(counts(1L) === 3L)
+  }
+
+  test("sequence packing by bpe_ish tokens differs from ws and replays exactly") {
+    val s = spark
+    import s.implicits._
+    val d = Seq(
+      (1L, "alpha beta-42 gamma!"), // ws: 3 tokens; bpe_ish: 7
+      (2L, "  "), // empty after trim: 0 either way
+      (3L, (1 to 30).map(i => s"tok$i").mkString(" "))
+    ).toDF("doc_id", "text")
+    val ws = DocOps.packSequences(d, budget = 8, nBuckets = 2).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val bpe = DocOps.packSequences(d, budget = 8, nBuckets = 2,
+      tokenizer = "bpe_ish").collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(ws(1L) === 3L && bpe(1L) === 6L) // alpha|beta|-|42|gamma|!
+    assert(ws(2L) === 0L && bpe(2L) === 0L)
+    assert(ws(3L) === 30L && bpe(3L) === 60L) // tokN = letters run + digits run
+    assertThrows[IllegalArgumentException](
+      DocOps.packSequences(d, tokenizer = "nope"))
   }
 
   test("Gopher rule bundle: metrics and verdict, pure projection") {
