@@ -188,6 +188,18 @@ object Extract {
   def readResultsAt(spark: SparkSession, outDir: String, id: Long): DataFrame =
     SnapshotStore.readAt(spark, s"$outDir/results", id)
 
+  /** Retention maintenance (Iceberg `expire_snapshots` analog): keep the
+    * newest `retainLast` snapshots of the results table, delete the rest's
+    * manifests and exclusively-referenced data files. No-op on a table
+    * with no manifest. Returns the expired snapshot ids.
+    */
+  def expireResultSnapshots(spark: SparkSession, outDir: String,
+                            retainLast: Int = 2): Seq[Long] = {
+    val p = new org.apache.hadoop.fs.Path(s"$outDir/results")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    SnapshotStore.expireSnapshots(fs, p, retainLast)
+  }
+
   /** Marker signalling "results were swapped but the lineage patch has not
     * completed" — created by [[reparseErrors]] immediately before its
     * snapshot commit and cleared only after both lineage tables are

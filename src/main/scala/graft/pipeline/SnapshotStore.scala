@@ -65,7 +65,9 @@ object SnapshotStore {
 
   /** (id, path) of the current snapshot, if the table carries a manifest.
     * `.tmp` leftovers from a crashed commit are ignored (never the current
-    * snapshot) and harmless: the next commit overwrites its own tmp name.
+    * snapshot) and harmless: staged bodies are uniquely named per commit
+    * attempt (round 6), so a leftover can never be adopted or clobbered by
+    * a later writer.
     */
   def currentSnapshot(fs: FileSystem, results: Path): Option[(Long, Path)] =
     snapshots(fs, results).lastOption
@@ -94,12 +96,18 @@ object SnapshotStore {
     * new snapshot id. The single rename is the commit point — every step
     * before it is invisible to readers, every step after it is recovery.
     *
-    * Concurrent writers: rename-onto-existing FAILS atomically on
-    * HDFS/local FS, so two committers racing the same id cannot clobber
-    * each other — the loser gets a [[ConcurrentCommitException]] and must
-    * re-derive its file set against the winner's snapshot before
-    * retrying (the caller-side rebase is what Iceberg's optimistic commit
-    * protocol automates; this store only guarantees the detection).
+    * Concurrent writers: each attempt stages through a UNIQUE tmp name
+    * (round 6 — a shared name would let racing writer B overwrite A's
+    * staged body before A's rename, publishing B's list under A's id), and
+    * rename-onto-existing fails atomically on HDFS and this environment's
+    * checksum local FS, so two committers racing the same id cannot
+    * clobber each other — the loser gets a [[ConcurrentCommitException]]
+    * and should retry through [[commitRebase]]. CAVEAT: on stock Hadoop
+    * RawLocalFileSystem, POSIX rename(2) silently REPLACES an existing
+    * destination, so last-writer-wins is possible there — multi-writer
+    * arbitration on plain local disks is exactly the part a real Iceberg
+    * catalog provides; single-writer remains the declared scope
+    * (COVERAGE.md divergence #2).
     */
   def commit(fs: FileSystem, results: Path, files: Seq[String]): Long =
     commitAt(fs, results, files,
@@ -113,7 +121,8 @@ object SnapshotStore {
     if (!fs.exists(dir) && !fs.mkdirs(dir))
       throw new IllegalStateException(s"could not create manifest dir $dir")
     val body = files.map(relativize(fs, results, _)).sorted.mkString("\n")
-    val tmp = new Path(dir, f"snap-$id%09d.txt.tmp")
+    val tmp = new Path(dir,
+      f"snap-$id%09d.txt.${java.util.UUID.randomUUID().toString.take(8)}.tmp")
     val out = fs.create(tmp, true)
     try out.write(body.getBytes(UTF_8)) finally out.close()
     val dst = new Path(dir, f"snap-$id%09d.txt")
@@ -127,6 +136,81 @@ object SnapshotStore {
         s"snapshot commit rename $tmp -> $dst failed; table unchanged")
     }
     id
+  }
+
+  /** Optimistic commit with bounded rebase-and-retry — the loop Iceberg's
+    * commit protocol automates, finishing what [[commitAt]]'s detection
+    * starts. The writer expresses its change as a DELTA (`adds`: its own
+    * staged files; `removes`: the files it replaced), which stays valid
+    * against ANY winner's snapshot: each attempt re-reads the current live
+    * set, applies removes-then-adds, and commits at the next id. On a
+    * [[ConcurrentCommitException]] the winner's snapshot is re-read and
+    * the delta re-applied — removes a winner already retired subtract to
+    * nothing, so interleaved writers converge to the serial result
+    * (spec-asserted with two committers racing the same base id).
+    *
+    * `beforeAttempt` is a test seam invoked with the id about to be
+    * claimed, between the live-set read and the commit — the
+    * read-to-rename window a real race lands in.
+    */
+  def commitRebase(fs: FileSystem, results: Path,
+                   adds: Seq[String], removes: Seq[String],
+                   maxRetries: Int = 10,
+                   beforeAttempt: Long => Unit = _ => ()): Long = {
+    val addQ = adds.map(qualify(fs, _))
+    val removeQ = removes.map(qualify(fs, _)).toSet
+    var attempt = 0
+    while (true) {
+      val base = liveFiles(fs, results).getOrElse(Seq.empty)
+      val next = (base.filterNot(removeQ) ++ addQ).distinct
+      val id = currentSnapshot(fs, results).map(_._1 + 1L).getOrElse(0L)
+      beforeAttempt(id)
+      try return commitAt(fs, results, next, id)
+      catch {
+        case e: ConcurrentCommitException =>
+          attempt += 1
+          if (attempt > maxRetries) throw new ConcurrentCommitException(
+            s"gave up after $maxRetries rebase retries: ${e.getMessage}")
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
+  /** Iceberg `expire_snapshots` analog — the retention maintenance op:
+    * delete every manifest except the newest `retainLast`, then delete the
+    * data files referenced ONLY by the expired manifests (a file shared
+    * with any retained snapshot survives; so does any file of the current
+    * snapshot). Returns the expired snapshot ids.
+    *
+    * Crash ordering: manifests are deleted FIRST (each single delete is
+    * the per-snapshot expiry point), data files after — a crash mid-sweep
+    * strands orphan data files that no retained manifest references,
+    * which readers never see and the next expire/compaction sweep
+    * removes. The reverse order could leave a still-listed manifest
+    * pointing at deleted files, turning time travel into a read-time
+    * error earlier than promised.
+    *
+    * A [[readAt]] of an expired id fails with "no snapshot <id>" — the
+    * expired-snapshot contract; live reads ([[read]]) and incremental
+    * resume never look past the current snapshot and are unaffected.
+    */
+  def expireSnapshots(fs: FileSystem, results: Path,
+                      retainLast: Int = 2): Seq[Long] = {
+    require(retainLast >= 1, s"must retain at least 1 snapshot, got $retainLast")
+    val all = snapshots(fs, results)
+    if (all.size <= retainLast) return Seq.empty
+    val (drop, keep) = all.splitAt(all.size - retainLast)
+    val retained = keep.flatMap { case (_, p) => filesOf(fs, results, p) }.toSet
+    val expired = drop.flatMap { case (_, p) => filesOf(fs, results, p) }
+      .toSet -- retained
+    drop.foreach { case (_, p) => fs.delete(p, false) }
+    expired.foreach { f =>
+      val p = new Path(f)
+      if (fs.exists(p) && !fs.delete(p, false))
+        System.err.println(s"[graft] WARN: could not delete expired file $p; " +
+          "orphan is invisible through retained manifests")
+    }
+    drop.map(_._1)
   }
 
   /** Ensure the table carries a manifest: when absent, commit snapshot 0 =

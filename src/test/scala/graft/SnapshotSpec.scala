@@ -202,6 +202,83 @@ class SnapshotSpec extends AnyFunSuite with BeforeAndAfterAll {
       Extract.readResultsAt(spark, out, 99L).count())
   }
 
+  test("expire_snapshots retains last-N; shared files survive, exclusive ones go") {
+    val out = freshTable("graft-snap-expire")
+    val fs = fsOf(out)
+    val resultsPath = new Path(s"$out/results")
+    Extract.compactResults(spark, out) // snaps 0 (bootstrap) + 1 (compacted)
+    val total = Extract.readResults(spark, out).count()
+    // snap 2 = snap 1's files + a dummy data file EXCLUSIVE to it; snap 3
+    // drops the dummy again — so after expiry the dummy is referenced
+    // only by expired history and must be deleted, while snap 1's real
+    // files (shared with the retained current snapshot) must survive
+    val live = SnapshotStore.liveFiles(fs, resultsPath).get
+    val dummy = new Path(resultsPath, "part-deadbeef-dummy.parquet")
+    val os = fs.create(dummy, true); os.write(1); os.close()
+    SnapshotStore.commit(fs, resultsPath, live :+ dummy.toString)
+    SnapshotStore.commit(fs, resultsPath, live)
+    assert(SnapshotStore.snapshots(fs, resultsPath).map(_._1) === Seq(0L, 1L, 2L, 3L))
+
+    val expired = Extract.expireResultSnapshots(spark, out, retainLast = 1)
+    assert(expired === Seq(0L, 1L, 2L))
+    assert(SnapshotStore.snapshots(fs, resultsPath).map(_._1) === Seq(3L))
+    assert(!fs.exists(dummy), "exclusively-expired data file not deleted")
+    live.foreach(f => assert(fs.exists(new Path(f)), s"shared live file $f deleted"))
+    // live reads unaffected; expired time travel now fails as unknown id
+    assert(Extract.readResults(spark, out).count() === total)
+    assert(Extract.readResultsAt(spark, out, 3L).count() === total)
+    assertThrows[IllegalArgumentException](
+      Extract.readResultsAt(spark, out, 1L).count())
+    // resume after expiry: zero-increment run leaves the table identical
+    val m = Extract.runCheckpointed(spark, "data/transcripts_t1", out)
+    assert(m("rows").asInstanceOf[Long] === 0L)
+    assert(Extract.readResults(spark, out).count() === total)
+    // idempotent / bounded: nothing more to expire at the same retention
+    assert(Extract.expireResultSnapshots(spark, out, retainLast = 2).isEmpty)
+  }
+
+  test("rebase-and-retry: two interleaved committers converge to the serial result") {
+    val out = freshTable("graft-snap-rebase")
+    val fs = fsOf(out)
+    val resultsPath = new Path(s"$out/results")
+    Extract.compactResults(spark, out) // manifest exists
+    val base = SnapshotStore.liveFiles(fs, resultsPath).get
+    def mkFile(name: String): String = {
+      val p = new Path(resultsPath, name)
+      val os = fs.create(p, true); os.write(1); os.close()
+      SnapshotStore.qualify(fs, p.toString)
+    }
+    val addA = mkFile("part-aaaa-writerA.parquet")
+    val addB = mkFile("part-bbbb-writerB.parquet")
+    // writer B reads the live set, but writer A lands first INSIDE B's
+    // read-to-rename window (the beforeAttempt seam) — B's first commitAt
+    // loses the id race, rebases onto A's snapshot, and retries
+    var injected = false
+    val idB = SnapshotStore.commitRebase(fs, resultsPath,
+      adds = Seq(addB), removes = Seq.empty,
+      beforeAttempt = { id =>
+        if (!injected) {
+          injected = true
+          SnapshotStore.commitAt(fs, resultsPath, base :+ addA, id)
+        }
+      })
+    assert(injected)
+    val (curId, _) = SnapshotStore.currentSnapshot(fs, resultsPath).get
+    assert(curId === idB)
+    // both writers' changes landed exactly once — the serial result
+    assert(SnapshotStore.liveFiles(fs, resultsPath).get.toSet ===
+      (base.toSet + addA + addB))
+    // a rebase whose removes were already retired by the winner converges
+    // to adds-only: A removes addB concurrently with B removing addB too
+    SnapshotStore.commit(fs, resultsPath,
+      SnapshotStore.liveFiles(fs, resultsPath).get.filterNot(_ == addB))
+    val idC = SnapshotStore.commitRebase(fs, resultsPath,
+      adds = Seq.empty, removes = Seq(addB))
+    assert(idC > idB)
+    assert(SnapshotStore.liveFiles(fs, resultsPath).get.toSet ===
+      (base.toSet + addA))
+  }
+
   test("errors smeared across every file fall back to a whole-table rewrite") {
     val out = freshTable("graft-snap-smear")
     val clean = rows(out)
