@@ -236,6 +236,15 @@ object Bench {
     val tpsLo = if (runsLo.nonEmpty) runsLo.max else 1.0
     val tpsHi = if (runsHi.nonEmpty) runsHi.max else 0.0
     val efficiency = (tpsHi / tpsLo) / (coresHi.toDouble / coresLo)
+    // a level with ZERO successful child runs must surface as an explicit
+    // error, not a silent efficiency=0.0 (round-6 guard)
+    val scalingError: Option[String] =
+      if (runsLo.isEmpty && runsHi.isEmpty)
+        Some("all scaling child runs failed at both levels")
+      else if (runsLo.isEmpty) Some(s"all $nRounds child runs failed at lo level")
+      else if (runsHi.isEmpty) Some(s"all $nRounds child runs failed at hi level")
+      else None
+    scalingError.foreach(e => System.err.println(s"[bench] SCALING ERROR: $e"))
     val effBestPair = if (roundEffs.nonEmpty) roundEffs.max else -1.0
     // secondary wide pair (2->8 executors, 4->16 cores) + saturation point
     // (8 executors x 4 cores = all 32 host cores), one round each
@@ -335,7 +344,7 @@ object Bench {
     val qJson = queries.map { case (k, v) => f""""$k":$v%.3f""" }.mkString("{", ",", "}")
     val qnJson = queriesNorm.map { case (k, v) => f""""$k":$v%.3f""" }.mkString("{", ",", "}")
     val line =
-      f"""{"metric":"turns_per_sec","value":${nTurns / tExtract}%.1f,"unit":"turns/sec","total_sec":$totalSec%.2f,"queries":$qJson,"queries_norm":$qnJson,"calibration":{"nominal_ops32":$NominalCal32%.3e,"pass_rates":${calRates.map(v => f"$v%.3e").mkString("[", ",", "]")}},"sf":"$sfDir","n_turns":$nTurns,"scaling":{"mode":"executor-processes (local-cluster)","cores_per_executor":$coresPer,"execs_lo":$execsLo,"execs_hi":$execsHi,"cores_lo":$coresLo,"cores_hi":$coresHi,"tps_lo":$tpsLo%.1f,"tps_hi":$tpsHi%.1f,"efficiency":$efficiency%.3f,"efficiency_best_pair":$effBestPair%.3f,"round_efficiencies":${roundEffs.map(v => f"$v%.3f").mkString("[", ",", "]")},"hw_ceiling":$hwCeiling%.3f,"efficiency_vs_ceiling":${efficiency / hwCeiling}%.3f,"runs_lo":${runsLo.map(v => f"$v%.1f").mkString("[", ",", "]")},"runs_hi":${runsHi.map(v => f"$v%.1f").mkString("[", ",", "]")},"secondary_pair":{"execs_lo":2,"execs_hi":8,"cores_lo":${2 * coresPer},"cores_hi":${8 * coresPer},"tps_lo":$tpsLo2%.1f,"tps_hi":$tpsHi2%.1f,"efficiency":$efficiency2%.3f},"saturation_tps_32core":$tpsSat32%.1f,"scaled_turns":${nTurns.toLong * replicate}}}"""
+      f"""{"metric":"turns_per_sec","value":${nTurns / tExtract}%.1f,"unit":"turns/sec","total_sec":$totalSec%.2f,"queries":$qJson,"queries_norm":$qnJson,"calibration":{"nominal_ops32":$NominalCal32%.3e,"pass_rates":${calRates.map(v => f"$v%.3e").mkString("[", ",", "]")}},"sf":"$sfDir","n_turns":$nTurns,"scaling":{${scalingError.map(e => s""""scaling_error":"$e",""").getOrElse("")}"mode":"executor-processes (local-cluster)","cores_per_executor":$coresPer,"execs_lo":$execsLo,"execs_hi":$execsHi,"cores_lo":$coresLo,"cores_hi":$coresHi,"tps_lo":$tpsLo%.1f,"tps_hi":$tpsHi%.1f,"efficiency":$efficiency%.3f,"efficiency_best_pair":$effBestPair%.3f,"round_efficiencies":${roundEffs.map(v => f"$v%.3f").mkString("[", ",", "]")},"hw_ceiling":$hwCeiling%.3f,"efficiency_vs_ceiling":${efficiency / hwCeiling}%.3f,"runs_lo":${runsLo.map(v => f"$v%.1f").mkString("[", ",", "]")},"runs_hi":${runsHi.map(v => f"$v%.1f").mkString("[", ",", "]")},"secondary_pair":{"execs_lo":2,"execs_hi":8,"cores_lo":${2 * coresPer},"cores_hi":${8 * coresPer},"tps_lo":$tpsLo2%.1f,"tps_hi":$tpsHi2%.1f,"efficiency":$efficiency2%.3f},"saturation_tps_32core":$tpsSat32%.1f,"scaled_turns":${nTurns.toLong * replicate}}}"""
     println(line)
     // belt-and-braces: the driver parses stdout; also drop the line to a file
     val benchFile = java.nio.file.Paths.get(s"$RepoRoot/BENCH_LOCAL.json")
