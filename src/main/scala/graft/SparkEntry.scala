@@ -267,6 +267,22 @@ object SparkEntry {
     "doc_decontam" -> ((s, dir) =>
       DocOps.decontaminate(docs(s, dir)).orderBy("doc_id")),
 
+    // the linear CC edge feed itself (round 6): rep-level verified pairs
+    // + (rep, member) star edges — O(groups + members) on degenerate
+    // duplicate groups where the pair relation re-expands to k²
+    "doc_dedup_edges" -> ((s, dir) =>
+      DocOps.nearDupEdges(docs(s, dir), tau = 0.5).orderBy("doc_a", "doc_b")),
+
+    // the excise-not-drop cleaning transform paired with the spans signal
+    // (round 6): remove words covered by contaminated 13-gram windows
+    "doc_excise_contaminated" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val ev = DocOps.evalSplit(d)
+      DocOps.exciseContaminated(
+        d.join(ev.select(col("doc_id")), Seq("doc_id"), "left_anti"), ev,
+        broadcastEval = false).orderBy("doc_id")
+    }),
+
     // span-level decontamination (round 6): WHICH shingle positions
     // overlap the eval split, enabling excise-not-drop
     "doc_decontam_spans" -> ((s, dir) => {
@@ -635,6 +651,22 @@ object SparkEntry {
     // decontamination recomputed independently (see DecontamCtes)
     "doc_decontam" ->
       s"""WITH $DecontamCtes SELECT c.doc_id, coalesce(tot.n, CAST(0 AS BIGINT)) AS n_shingles, coalesce(flag.nc, CAST(0 AS BIGINT)) AS n_contaminated, CASE WHEN coalesce(tot.n, 0) = 0 THEN 0.0 ELSE CAST(coalesce(flag.nc, 0) AS DOUBLE) / CAST(tot.n AS DOUBLE) END AS contaminated_frac FROM corpus c LEFT JOIN tot ON tot.doc_id = c.doc_id LEFT JOIN flag ON flag.doc_id = c.doc_id ORDER BY c.doc_id""",
+
+    // the linear CC edge feed: rep pairs = brute-Jaccard pairs restricted
+    // to digest-group representatives (identical shingle sets make the
+    // restriction exact); star edges = (min doc_id per md5 group → other
+    // members) for groups of ≥2 whose rep shingles (cnt lists exactly the
+    // docs with ≥3 words)
+    "doc_dedup_edges" ->
+      s"""${JaccardCte}, grp AS (SELECT md5(text) AS g, doc_id FROM documents), reps AS (SELECT g, min(doc_id) AS rep, count(*) AS n FROM grp GROUP BY g), edges AS (SELECT p.doc_a, p.doc_b FROM pairs p JOIN reps ra ON ra.rep = p.doc_a JOIN reps rb ON rb.rep = p.doc_b UNION ALL SELECT r.rep AS doc_a, m.doc_id AS doc_b FROM reps r JOIN grp m ON m.g = r.g WHERE m.doc_id != r.rep AND r.n >= 2 AND r.rep IN (SELECT doc_id FROM cnt)) SELECT doc_a, doc_b FROM edges ORDER BY doc_a, doc_b""",
+
+    // excise-not-drop: kept word indices = those covered by NO matched
+    // 13-gram window; untouched docs pass their original text through
+    "doc_excise_contaminated" -> {
+      val cat = (0 until DocOps.DecontamK)
+        .map(j => if (j == 0) "w[i]" else s"w[i+$j]").mkString(" || ' ' || ")
+      s"""WITH $DecontamCtes, pw AS (SELECT doc_id, unnest(range(1, len(w)-${DocOps.DecontamK - 2})) AS i, w FROM words WHERE len(w) >= ${DocOps.DecontamK} AND doc_id IN (SELECT doc_id FROM corpus)), psh AS (SELECT doc_id, i - 1 AS pos, $cat AS s FROM pw), st AS (SELECT doc_id, list(DISTINCT pos) AS starts FROM psh WHERE s IN (SELECT s FROM evs) GROUP BY doc_id), reb AS (SELECT w.doc_id, list_transform(list_filter(range(len(w.w)), i -> len(list_filter(st.starts, s -> i >= s AND i < s + ${DocOps.DecontamK})) = 0), i -> w.w[i + 1]) AS kept, len(w.w) AS nw FROM words w JOIN st ON st.doc_id = w.doc_id) SELECT d.doc_id, CASE WHEN reb.doc_id IS NULL THEN d.text ELSE coalesce(array_to_string(reb.kept, ' '), '') END AS cleaned_text, CASE WHEN reb.doc_id IS NULL THEN CAST(0 AS BIGINT) ELSE CAST(reb.nw - len(reb.kept) AS BIGINT) END AS n_words_removed FROM documents d LEFT JOIN reb ON reb.doc_id = d.doc_id WHERE d.doc_id IN (SELECT doc_id FROM corpus) ORDER BY d.doc_id"""
+    },
 
     // span-level decontamination: positioned (non-distinct) shingle
     // occurrences recomputed via unnest(range) + i-1, matched against the

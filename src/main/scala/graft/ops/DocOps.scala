@@ -623,17 +623,57 @@ object DocOps {
     * or shuffle-semi-joins when it is a corpus split; only (doc_id, pos)
     * ints and the matched shingle strings reach the per-doc aggregate.
     */
-  def decontamSpans(corpus: DataFrame, evalDocs: DataFrame,
-                    k: Int = DecontamK,
-                    broadcastEval: Boolean = true): DataFrame = {
+  /** Contaminated shingle occurrences: (doc_id, pos, s) of every corpus
+    * shingle occurrence present in the eval set — the shared trunk of
+    * [[decontamSpans]] and [[exciseContaminated]].
+    */
+  private def contamHits(corpus: DataFrame, evalDocs: DataFrame,
+                         k: Int, broadcastEval: Boolean): DataFrame = {
     val evalSh0 = shingles(evalDocs, k).select(col("s")).distinct()
     val evalSh = if (broadcastEval) broadcast(evalSh0) else evalSh0
-    shinglesPositioned(corpus, k)
-      .join(evalSh, Seq("s"), "left_semi")
+    shinglesPositioned(corpus, k).join(evalSh, Seq("s"), "left_semi")
+  }
+
+  def decontamSpans(corpus: DataFrame, evalDocs: DataFrame,
+                    k: Int = DecontamK,
+                    broadcastEval: Boolean = true): DataFrame =
+    contamHits(corpus, evalDocs, k, broadcastEval)
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_matches"),
         array_join(transform(array_sort(collect_list(col("pos"))),
           p => p.cast("string")), ",").as("span_starts"))
+
+  /** The CLEANING transform paired with [[decontamSpans]] (exactly as
+    * [[dedupLines]] pairs with [[repetitionStats]]): EXCISE every word
+    * covered by a contaminated k-gram window — [start, start + k) per
+    * matched start — and rebuild the text, instead of dropping the whole
+    * document. Docs with no matches (including docs too short to shingle)
+    * pass through with their ORIGINAL text byte-identical; only excised
+    * docs are rebuilt from the surviving words, single-space-joined (the
+    * canonical-whitespace loss is inherent to word-level excision and
+    * mirrors the tokenization the spans index into).
+    *
+    * 100-TB shape: the removal decision travels as (doc_id, start) ints
+    * ([[contamHits]] → collect_set per doc); the doc's own row rebuilds
+    * the text in a pure projection (index-aware filter HOF + exists over
+    * the start set) — text never crosses an exchange, same pattern as
+    * [[dedupParagraphs]].
+    */
+  def exciseContaminated(corpus: DataFrame, evalDocs: DataFrame,
+                         k: Int = DecontamK,
+                         broadcastEval: Boolean = true): DataFrame = {
+    val starts = contamHits(corpus, evalDocs, k, broadcastEval)
+      .groupBy(col("doc_id")).agg(collect_set(col("pos")).as("starts"))
+    val words = split(trim(col("text")), "\\s+")
+    val keptWords = filter(words, (_, i) =>
+      !exists(col("starts"), st => i >= st && i < st + k))
+    corpus.join(starts, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("starts").isNull, col("text"))
+          .otherwise(array_join(keptWords, " ")).as("cleaned_text"),
+        when(col("starts").isNull, 0L)
+          .otherwise((size(words) - size(keptWords)).cast("long"))
+          .as("n_words_removed"))
   }
 
   /** End-to-end corpus-cleaning verdict — the composition the individual

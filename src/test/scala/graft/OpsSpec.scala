@@ -349,6 +349,21 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val counts = DocOps.decontamAgainst(corpus, evalDocs).collect()
       .map(x => x.getLong(0) -> x.getLong(2)).toMap
     assert(counts(1L) === 3L)
+
+    // the paired cleaning transform: words covered by any matched window
+    // [start, start+13) are excised; doc 1 starts {3,4,5} cover words
+    // 3..17 — exactly the leak run — leaving the 5 context words; doc 2
+    // (clean) passes through byte-identical; doc 3 is fully leak+xx
+    val ex = DocOps.exciseContaminated(corpus, evalDocs).collect()
+      .map(x => x.getLong(0) -> x).toMap
+    assert(ex(1L).getString(1) === "prefix words here suffix tail")
+    assert(ex(1L).getLong(2) === 15L)
+    assert(ex(2L).getString(1) === (1 to 40).map(i => s"clean$i").mkString(" "))
+    assert(ex(2L).getLong(2) === 0L)
+    // doc 3: starts {0,1,2,16,17,18} cover 0..14 and 16..30 — every word
+    // except "xx" at index 15
+    assert(ex(3L).getString(1) === "xx")
+    assert(ex(3L).getLong(2) === 30L)
   }
 
   test("sequence packing by bpe_ish tokens differs from ws and replays exactly") {
