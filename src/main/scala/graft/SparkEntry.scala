@@ -333,6 +333,13 @@ object SparkEntry {
     "doc_source_report" -> ((s, dir) =>
       DocOps.sourceReport(docs(s, dir)).orderBy("source")),
 
+    // deterministic stratified sampling (round 6): integer-threshold
+    // keep test on the salted portable doc_id hash, per-source rates
+    "doc_sample_stratified" -> ((s, dir) =>
+      DocOps.sampleStratified(docs(s, dir),
+          Map("src0" -> 0.25, "src1" -> 0.5, "src2" -> 0.0))
+        .select(col("doc_id"), col("source")).orderBy("doc_id")),
+
     // PII scrubbing: counts + deterministic redaction chain (round 5)
     "doc_pii_scrub" -> ((s, dir) =>
       DocOps.piiScrub(docs(s, dir)).orderBy("doc_id")),
@@ -735,6 +742,12 @@ object SparkEntry {
     // regex segmentation as doc_tokens' bpe_ish_tokens
     "doc_pack_sequences_bpe" ->
       """WITH t AS (SELECT doc_id, CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS n_tokens, CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 32 AS bucket FROM documents), c AS (SELECT doc_id, bucket, n_tokens, CAST(sum(n_tokens) OVER (PARTITION BY bucket ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum FROM t) SELECT doc_id, bucket, n_tokens, CAST(floor(CAST(cum - n_tokens AS DOUBLE) / 2048.0) AS BIGINT) AS pack_id, (cum - n_tokens) % 2048 AS pack_offset FROM c ORDER BY doc_id""",
+
+    // stratified sampling: the same salted 60-bit hash vs the same
+    // floor(rate·2^60) integer thresholds (0.25→2^58, 0.5→2^59, 0→0,
+    // default 1.0→2^60)
+    "doc_sample_stratified" ->
+      """SELECT doc_id, source FROM documents WHERE CAST(('0x' || substr(md5('sample:' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) < CASE source WHEN 'src0' THEN 288230376151711744 WHEN 'src1' THEN 576460752303423488 WHEN 'src2' THEN 0 ELSE 1152921504606846976 END ORDER BY doc_id""",
 
     // per-source report: integer sums merged then ratios derived
     "doc_source_report" ->

@@ -919,6 +919,35 @@ object DocOps {
         ((col("cum_tokens") - col("n_tokens")) % lit(budget)).as("pack_offset"))
   }
 
+  /** Deterministic stratified sampling — the mixture-reweighting stage a
+    * training-data pipeline runs to hit a target per-source composition
+    * (down-sample the crawl, keep all of wikipedia, …): a doc survives
+    * iff its salted portable doc_id hash lands below its source's
+    * threshold. Deterministic (no RNG state → repeatable across runs and
+    * resumes), repartition-invariant, and per-row independent.
+    *
+    * The keep test is INTEGER: threshold = floor(rate · 2⁶⁰) compared
+    * against the 60-bit md5-prefix hash — bit-exact in any engine with
+    * md5 (the DuckDB oracle replays it literally). The "sample:" salt
+    * decorrelates the draw from [[evalSplit]]'s unsalted doc_id hash, so
+    * sampling and holdout selection are independent events.
+    *
+    * 100-TB shape: a pure projection + filter, the rates map folded into
+    * one plan-time CASE — no shuffle, no sampling state, no driver round
+    * trip.
+    */
+  def sampleStratified(docs: DataFrame, rates: Map[String, Double],
+                       defaultRate: Double = 1.0): DataFrame = {
+    require((rates.values ++ Seq(defaultRate)).forall(r => r >= 0.0 && r <= 1.0),
+      s"rates must be in [0, 1]: $rates / $defaultRate")
+    def thresholdOf(r: Double): Long = (r * (1L << 60).toDouble).toLong
+    val h = md5Hash60(concat(lit("sample:"), col("doc_id").cast("string")))
+    val threshold = rates.foldLeft(lit(thresholdOf(defaultRate))) {
+      case (acc, (s, r)) => when(col("source") === s, lit(thresholdOf(r))).otherwise(acc)
+    }
+    docs.where(h < threshold)
+  }
+
   /** Corpus-wide distinct-word sketch via the custom HLL aggregate
     * (graft.functions.HllSketch): one narrow pass, a 1KB partial per task,
     * merge = elementwise max — COUNT(DISTINCT) at corpus scale without

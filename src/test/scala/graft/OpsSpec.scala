@@ -126,6 +126,18 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     // the expanded pair relation would be k(k-1)/2 + k ≈ 5·10⁷ rows
     assert(edges.length === k)
     assert(edges.count(_._1 == 0L) + edges.count(_._2 == 0L) === k)
+    // the edge feed's INNER joins (candidates, verify, star expansion)
+    // never carry the text column — same invariant the candidate-
+    // generation spec asserts for the pair path; the one semi-join
+    // selecting representative DOCS legitimately keeps text on its left
+    // (it feeds the shingle explode, which consumes text map-side)
+    val eJoins = DocOps.nearDupEdges(d, 0.5).queryExecution.optimizedPlan
+      .collect {
+        case j: org.apache.spark.sql.catalyst.plans.logical.Join
+          if j.joinType == org.apache.spark.sql.catalyst.plans.Inner => j
+      }
+    assert(eJoins.nonEmpty)
+    assert(eJoins.forall(_.children.forall(_.output.forall(_.name != "text"))))
     val keepers = DocOps.dedupKeepers(d, 0.5).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(keepers.size === k + 4)
@@ -364,6 +376,17 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     // except "xx" at index 15
     assert(ex(3L).getString(1) === "xx")
     assert(ex(3L).getLong(2) === 30L)
+    // scale shape (benchmark mode): the CORPUS shingle stream joins the
+    // broadcast eval set map-side (LeftSemi BroadcastHashJoin on s; the
+    // only s-shuffle is the eval side's own distinct, benchmark-sized,
+    // under the BroadcastExchange — same nuance as the decontam spec);
+    // the removal decision then shuffles as (doc_id, starts) ints
+    for (df <- Seq(DocOps.exciseContaminated(corpus, evalDocs),
+                   DocOps.decontamSpans(corpus, evalDocs))) {
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.linesIterator.exists(l =>
+        l.contains("BroadcastHashJoin [s#") && l.contains("LeftSemi")), plan)
+    }
   }
 
   test("sequence packing by bpe_ish tokens differs from ws and replays exactly") {
@@ -553,6 +576,38 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(f(3L, "dup10_frac") === 2.0 * gram10.length / rep10.length)
     assert(f(3L, "dup5_frac") > 0.0)
     assert(f(4L, "top2_frac") === 0.0 && f(4L, "dup10_frac") === 0.0)
+  }
+
+  test("stratified sampling: deterministic, repartition-invariant, rate-accurate") {
+    val rates = Map("src0" -> 0.0, "src1" -> 0.3, "src2" -> 1.0)
+    val a = DocOps.sampleStratified(docs, rates, defaultRate = 0.5)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val b = DocOps.sampleStratified(docs.repartition(13), rates, defaultRate = 0.5)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(a === b) // pure function of (doc_id, source)
+    val bySrc = DocOps.sampleStratified(docs, rates, defaultRate = 0.5)
+      .groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val perSrc = docs.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(!bySrc.contains("src0")) // rate 0 drops everything
+    assert(bySrc("src2") === perSrc("src2")) // rate 1 keeps everything
+    // rate 0.3 keeps roughly 30% (binomial tolerance at n=25: wide band)
+    assert(bySrc("src1") > 0L && bySrc("src1") < perSrc("src1"))
+    // sampling draw is independent of the eval-holdout draw (different
+    // salt): the sampled fraction of eval docs tracks the overall rate,
+    // not 0 or 1
+    val ev = DocOps.evalSplit(docs).select("doc_id").collect()
+      .map(_.getLong(0)).toSet
+    val sampledEval = a.intersect(ev)
+    assert(sampledEval.nonEmpty && sampledEval.size < ev.size)
+    // a rate outside [0, 1] is rejected
+    assertThrows[IllegalArgumentException](
+      DocOps.sampleStratified(docs, Map("src0" -> 1.5)))
+    // no shuffle: pure projection + filter
+    val plan = DocOps.sampleStratified(docs, rates)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
   }
 
   test("source report: integer-exact merge, derived ratios") {

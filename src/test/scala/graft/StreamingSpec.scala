@@ -62,6 +62,25 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     outQ3.processAllAvailable(); outQ3.stop()
     assert(spark.table("gopher_stream").orderBy("doc_id").collect().toSeq ===
       DocOps.gopherRules(docs).orderBy("doc_id").collect().toSeq)
+    // stratified sampling (round 6) is a deterministic stateless filter —
+    // the mixture-reweighting stage runs on data as it lands, and the
+    // same docs survive as in batch
+    val docsSrc = {
+      val s = spark
+      import s.implicits._
+      Seq((1L, "a", "web"), (2L, "b", "web"), (3L, "c", "wiki"),
+        (4L, "d", "wiki"), (5L, "e", "web"), (6L, "f", "web"))
+        .toDF("doc_id", "text", "source")
+    }
+    val landing2 = s"$work/landing2"
+    docsSrc.write.parquet(landing2)
+    val stream2 = spark.readStream.schema(docsSrc.schema).parquet(landing2)
+    val rates = Map("web" -> 0.5, "wiki" -> 1.0)
+    val outQ4 = DocOps.sampleStratified(stream2, rates).writeStream
+      .format("memory").queryName("sample_stream").outputMode("append").start()
+    outQ4.processAllAvailable(); outQ4.stop()
+    assert(spark.table("sample_stream").orderBy("doc_id").collect().toSeq ===
+      DocOps.sampleStratified(docsSrc, rates).orderBy("doc_id").collect().toSeq)
   }
 
   test("decontam overlap stage composes onto a stream (static broadcast + update-mode agg)") {
