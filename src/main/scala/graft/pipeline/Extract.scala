@@ -271,11 +271,19 @@ object Extract {
                             tmpPath: org.apache.hadoop.fs.Path,
                             resultsPath: org.apache.hadoop.fs.Path,
                             partitioned: Boolean): Unit = {
-    SnapshotStore.bootstrap(fs, resultsPath,
+    val live = SnapshotStore.bootstrap(fs, resultsPath,
       listDataFiles(fs, resultsPath).toSeq.sorted)
     val moved = moveStaged(fs, tmpPath, resultsPath, partitioned)
-    SnapshotStore.commit(fs, resultsPath, moved)
-    val keep = moved.toSet
+    // whole-table rewrite = replace the pre-rewrite live set with the
+    // staged one; through the rebase loop a concurrent APPEND landing in
+    // the window survives (its files are neither in `removes` nor
+    // replaced), instead of being clobbered by an absolute commit
+    SnapshotStore.commitRebase(fs, resultsPath, adds = moved, removes = live)
+    // sweep what the COMMITTED snapshot doesn't list (not just what this
+    // writer staged — a concurrent append that survived the rebase must
+    // survive the sweep too)
+    val keep = SnapshotStore.liveFiles(fs, resultsPath)
+      .map(_.toSet).getOrElse(moved.toSet)
     (listDataFiles(fs, resultsPath) -- keep).foreach { f =>
       val p = new org.apache.hadoop.fs.Path(f)
       if (!fs.delete(p, false))
@@ -374,8 +382,13 @@ object Extract {
     // a manifest-carrying table folds the appended files into a new
     // snapshot (manifest-less tables stay plain — the manifest appears
     // lazily with the first maintenance op)
-    liveBefore.foreach { live =>
-      if (newFiles.nonEmpty) SnapshotStore.commit(fs, resultsPath, live ++ newFiles)
+    // append = an adds-only delta; routed through the optimistic rebase
+    // loop (round 6) so a concurrent maintenance commit re-bases this
+    // append instead of failing it (single-writer behavior identical)
+    liveBefore.foreach { _ =>
+      if (newFiles.nonEmpty)
+        SnapshotStore.commitRebase(fs, resultsPath, adds = newFiles,
+          removes = Seq.empty)
     }
     if (healNeeded) {
       // stale/missing lineage detected (crashed previous run): recompute
@@ -545,9 +558,11 @@ object Extract {
       // crash after the commit but before the lineage patch forces a heal.
       val moved = moveStaged(fs, tmpPath, resultsPath, partitioned)
       fs.create(marker, true).close()
-      val newLive =
-        if (fullRewrite) moved.toSet else (live -- errFiles) ++ moved
-      SnapshotStore.commit(fs, resultsPath, newLive.toSeq)
+      // reparse = replace the error-holding files (or the whole live set
+      // in fallback) with the rewritten ones — an (adds, removes) delta,
+      // committed through the rebase loop (round 6)
+      SnapshotStore.commitRebase(fs, resultsPath, adds = moved,
+        removes = (if (fullRewrite) live else errFiles).toSeq)
       // retire replaced files (post-commit: a failed delete leaves an
       // orphan readers never see; compaction sweeps it)
       val retired = if (fullRewrite) live else errFiles

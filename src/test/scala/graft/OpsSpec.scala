@@ -604,6 +604,16 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     // a rate outside [0, 1] is rejected
     assertThrows[IllegalArgumentException](
       DocOps.sampleStratified(docs, Map("src0" -> 1.5)))
+    // rate accuracy at n=20k: the 60-bit hash is uniform enough that the
+    // empirical keep rate lands within ±5σ of binomial expectation
+    val s = spark
+    import org.apache.spark.sql.functions.{col, lit}
+    val big = s.range(20000).select(col("id").as("doc_id"),
+      lit("x").as("text"), lit("webby").as("source"))
+    val p = 0.3
+    val kept = DocOps.sampleStratified(big, Map("webby" -> p)).count()
+    val sigma = math.sqrt(20000 * p * (1 - p)) // ≈ 65
+    assert(math.abs(kept - 20000 * p) < 5 * sigma, s"kept $kept of 20000 at rate $p")
     // no shuffle: pure projection + filter
     val plan = DocOps.sampleStratified(docs, rates)
       .queryExecution.executedPlan.toString
