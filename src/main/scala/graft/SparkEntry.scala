@@ -293,6 +293,16 @@ object SparkEntry {
         broadcastEval = false).orderBy("doc_id")
     }),
 
+    // the reverse decontamination direction (round 6): per EVAL doc, how
+    // compromised the benchmark item is (leaked shingles, sharing docs)
+    "doc_eval_leak_report" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val ev = DocOps.evalSplit(d)
+      DocOps.evalLeakReport(
+        d.join(ev.select(col("doc_id")), Seq("doc_id"), "left_anti"), ev,
+        broadcastEval = false).orderBy("doc_id")
+    }),
+
     // corpus top-k word frequencies (exact complement of doc_word_hll)
     "doc_word_topk" -> ((s, dir) => DocOps.wordTopK(docs(s, dir))),
 
@@ -674,6 +684,11 @@ object SparkEntry {
         .map(j => if (j == 0) "w[i]" else s"w[i+$j]").mkString(" || ' ' || ")
       s"""WITH $DecontamCtes, pw AS (SELECT doc_id, unnest(range(1, len(w)-${DocOps.DecontamK - 2})) AS i, w FROM words WHERE len(w) >= ${DocOps.DecontamK} AND doc_id IN (SELECT doc_id FROM corpus)), psh AS (SELECT doc_id, i - 1 AS pos, $cat AS s FROM pw), st AS (SELECT doc_id, list(DISTINCT pos) AS starts FROM psh WHERE s IN (SELECT s FROM evs) GROUP BY doc_id), reb AS (SELECT w.doc_id, list_transform(list_filter(range(len(w.w)), i -> len(list_filter(st.starts, s -> i >= s AND i < s + ${DocOps.DecontamK})) = 0), i -> w.w[i + 1]) AS kept, len(w.w) AS nw FROM words w JOIN st ON st.doc_id = w.doc_id) SELECT d.doc_id, CASE WHEN reb.doc_id IS NULL THEN d.text ELSE coalesce(array_to_string(reb.kept, ' '), '') END AS cleaned_text, CASE WHEN reb.doc_id IS NULL THEN CAST(0 AS BIGINT) ELSE CAST(reb.nw - len(reb.kept) AS BIGINT) END AS n_words_removed FROM documents d LEFT JOIN reb ON reb.doc_id = d.doc_id WHERE d.doc_id IN (SELECT doc_id FROM corpus) ORDER BY d.doc_id"""
     },
+
+    // eval-side leak report: the same shingle CTEs, aggregated per EVAL
+    // doc — distinct leaked shingles + distinct sharing corpus docs
+    "doc_eval_leak_report" ->
+      s"""WITH $DecontamCtes, etot AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM sh WHERE doc_id IN (SELECT doc_id FROM ev) GROUP BY doc_id), hits AS (SELECT es.doc_id, es.s, cs.doc_id AS cd FROM sh es JOIN sh cs ON es.s = cs.s WHERE es.doc_id IN (SELECT doc_id FROM ev) AND cs.doc_id IN (SELECT doc_id FROM corpus)), lk AS (SELECT doc_id, CAST(count(DISTINCT s) AS BIGINT) AS nl, CAST(count(DISTINCT cd) AS BIGINT) AS nd FROM hits GROUP BY doc_id) SELECT e.doc_id, coalesce(etot.n, CAST(0 AS BIGINT)) AS n_shingles, coalesce(lk.nl, CAST(0 AS BIGINT)) AS n_leaked, coalesce(lk.nd, CAST(0 AS BIGINT)) AS n_corpus_docs, CASE WHEN coalesce(etot.n, 0) = 0 THEN 0.0 ELSE CAST(coalesce(lk.nl, 0) AS DOUBLE) / CAST(etot.n AS DOUBLE) END AS leaked_frac FROM ev e LEFT JOIN etot ON etot.doc_id = e.doc_id LEFT JOIN lk ON lk.doc_id = e.doc_id ORDER BY e.doc_id""",
 
     // span-level decontamination: positioned (non-distinct) shingle
     // occurrences recomputed via unnest(range) + i-1, matched against the

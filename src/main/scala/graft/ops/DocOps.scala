@@ -676,6 +676,45 @@ object DocOps {
           .as("n_words_removed"))
   }
 
+  /** The REVERSE direction of [[decontamAgainst]] (round 6): per EVAL
+    * doc, how compromised is the benchmark item itself — how many of its
+    * distinct k-gram shingles occur anywhere in the corpus, and how many
+    * distinct corpus docs share at least one. `decontamAgainst` answers
+    * "which training docs must be dropped/excised"; this answers "which
+    * benchmark items can no longer be trusted" — the report an eval owner
+    * reads before publishing scores.
+    *
+    * 100-TB shape: the eval shingle set (tiny for a real benchmark)
+    * broadcasts and the CORPUS shingle stream joins it map-side; the
+    * per-eval-doc aggregate then carries only (doc_id, s-digest, corpus
+    * doc_id) tuples bounded by the number of LEAKED shingle occurrences.
+    * `broadcastEval = false` for corpus-split eval sides, as everywhere
+    * in this family.
+    */
+  def evalLeakReport(corpus: DataFrame, evalDocs: DataFrame,
+                     k: Int = DecontamK,
+                     broadcastEval: Boolean = true): DataFrame = {
+    val evalSh0 = shingles(evalDocs, k) // distinct (doc_id, s) per eval doc
+    val evalSh = if (broadcastEval) broadcast(evalSh0) else evalSh0
+    val corpusSh = shingles(corpus, k).select(col("s"), col("doc_id").as("c_doc"))
+    val totals = evalSh0.groupBy(col("doc_id")).agg(count(lit(1)).as("n_shingles"))
+    val leaked = corpusSh.join(evalSh, Seq("s"))
+      .groupBy(col("doc_id"))
+      .agg(countDistinct(col("s")).as("n_leaked"),
+        countDistinct(col("c_doc")).as("n_corpus_docs"))
+    evalDocs.select(col("doc_id"))
+      .join(totals, Seq("doc_id"), "left")
+      .join(leaked, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_shingles"), lit(0L)).as("n_shingles"),
+        coalesce(col("n_leaked"), lit(0L)).as("n_leaked"),
+        coalesce(col("n_corpus_docs"), lit(0L)).as("n_corpus_docs"))
+      .withColumn("leaked_frac",
+        when(col("n_shingles") === 0L, 0.0)
+          .otherwise(col("n_leaked").cast("double") /
+            col("n_shingles").cast("double")))
+  }
+
   /** End-to-end corpus-cleaning verdict — the composition the individual
     * operators exist for: every doc gets a kept/dropped decision with the
     * FIRST failing stage as the reason, in pipeline order:

@@ -389,6 +389,32 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("eval leak report: per-benchmark-item compromise counts") {
+    val s = spark
+    import s.implicits._
+    val leak = (1 to 15).map(i => s"leak$i").mkString(" ")
+    // eval doc 100: 21 words → 9 distinct shingles, of which the 3
+    // all-leak windows occur in the corpus; eval doc 200: clean
+    val evalDocs = Seq(
+      (100L, s"benchmark question about $leak and its answer"),
+      (200L, (1 to 20).map(i => s"evalonly$i").mkString(" "))
+    ).toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, s"prefix words here $leak suffix tail"),
+      (2L, (1 to 40).map(i => s"clean$i").mkString(" ")),
+      (3L, s"$leak xx $leak") // shares the same 3 shingles
+    ).toDF("doc_id", "text")
+    val r = DocOps.evalLeakReport(corpus, evalDocs).collect()
+      .map(x => x.getLong(0) -> x).toMap
+    assert(r.keySet === Set(100L, 200L)) // every eval doc reported
+    assert(r(100L).getLong(1) === 9L)
+    assert(r(100L).getLong(2) === 3L) // 3 distinct leaked shingles
+    assert(r(100L).getLong(3) === 2L) // shared by corpus docs 1 and 3
+    assert(r(100L).getDouble(4) === 3.0 / 9.0)
+    assert(r(200L).getLong(2) === 0L && r(200L).getLong(3) === 0L
+      && r(200L).getDouble(4) === 0.0)
+  }
+
   test("sequence packing by bpe_ish tokens differs from ws and replays exactly") {
     val s = spark
     import s.implicits._
