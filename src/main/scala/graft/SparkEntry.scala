@@ -240,6 +240,18 @@ object SparkEntry {
     "doc_simhash_pairs" -> ((s, dir) =>
       DocOps.simhashPairs(docs(s, dir), maxDist = 3).orderBy("doc_a", "doc_b")),
 
+    // the SimHash linear CC edge feed (round 7): verified rep pairs +
+    // (rep, member) star edges — the nearDupEdges sibling for the
+    // Hamming-distance relation
+    "doc_simhash_edges" -> ((s, dir) =>
+      DocOps.simhashEdges(docs(s, dir), maxDist = 3).orderBy("doc_a", "doc_b")),
+
+    // keeper assignment over the SimHash near-dup components (round 7);
+    // oracle = recursive-CTE closure over the independently recomputed
+    // quadratic pair relation
+    "doc_simhash_keepers" -> ((s, dir) =>
+      DocOps.simhashKeepers(docs(s, dir), maxDist = 3).orderBy("doc_id")),
+
     "doc_lang_id" -> ((s, dir) => DocOps.langId(docs(s, dir)).orderBy("doc_id")),
 
     "doc_quality" -> ((s, dir) => DocOps.qualityScore(docs(s, dir)).orderBy("doc_id")),
@@ -567,6 +579,15 @@ object SparkEntry {
     s"""ev AS (SELECT doc_id FROM documents WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 10 = 7), words AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w FROM documents), sh AS (SELECT DISTINCT doc_id, s FROM (SELECT doc_id, unnest(list_transform(range(1, len(w)-${DocOps.DecontamK - 2}), i -> $cat)) AS s FROM words WHERE len(w) >= ${DocOps.DecontamK})), evs AS (SELECT DISTINCT s FROM sh WHERE doc_id IN (SELECT doc_id FROM ev)), corpus AS (SELECT doc_id FROM documents WHERE doc_id NOT IN (SELECT doc_id FROM ev)), tot AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM sh WHERE doc_id IN (SELECT doc_id FROM corpus) GROUP BY doc_id), flag AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS nc FROM sh WHERE doc_id IN (SELECT doc_id FROM corpus) AND s IN (SELECT s FROM evs) GROUP BY doc_id)"""
   }
 
+  /** Shared DuckDB CTE chain recomputing the SimHash fingerprints of a
+    * source relation: 60-bit md5-prefix word hashes, per-bit tf-weighted
+    * sums, sign fold, pigeonhole chunk banding (4 chunks × 15 bits).
+    * Yields `fp(doc_id, simhash)` and `banded(doc_id, simhash, chunk_idx,
+    * chunk_val)`.
+    */
+  private def simhashFpCtes(src: String): String =
+    s"""wordtf AS (SELECT doc_id, word, count(*) AS tf FROM (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS word FROM $src) GROUP BY doc_id, word), hashed AS (SELECT doc_id, tf, CAST(('0x' || substr(md5(word), 1, 15)) AS BIGINT) AS h FROM wordtf), sums AS (SELECT doc_id, i, sum(CASE WHEN (h >> i) & 1 = 1 THEN tf ELSE -tf END) AS s FROM hashed CROSS JOIN (SELECT unnest(range(60)) AS i) bits GROUP BY doc_id, i), fp AS (SELECT doc_id, CAST(sum(CASE WHEN s > 0 THEN CAST(1 AS BIGINT) << i ELSE 0 END) AS BIGINT) AS simhash FROM sums GROUP BY doc_id), banded AS (SELECT doc_id, simhash, j AS chunk_idx, (simhash >> (j * 15)) & 32767 AS chunk_val FROM fp CROSS JOIN (SELECT unnest(range(4)) AS j) chunks)"""
+
   /** ANSI SQL oracles (DuckDB). Column names must match the Spark output. */
   def oracleSql: Map[String, String] = Map(
     "vec_ann_lsh" -> annLshOracleSql,
@@ -776,7 +797,21 @@ object SparkEntry {
     // SimHash recomputed independently: 60-bit md5-prefix word hash
     // (CAST('0x..' AS BIGINT)), per-bit tf-weighted sums, pigeonhole bands
     "doc_simhash_pairs" ->
-      """WITH wordtf AS (SELECT doc_id, word, count(*) AS tf FROM (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS word FROM documents) GROUP BY doc_id, word), hashed AS (SELECT doc_id, tf, CAST(('0x' || substr(md5(word), 1, 15)) AS BIGINT) AS h FROM wordtf), sums AS (SELECT doc_id, i, sum(CASE WHEN (h >> i) & 1 = 1 THEN tf ELSE -tf END) AS s FROM hashed CROSS JOIN (SELECT unnest(range(60)) AS i) bits GROUP BY doc_id, i), fp AS (SELECT doc_id, CAST(sum(CASE WHEN s > 0 THEN CAST(1 AS BIGINT) << i ELSE 0 END) AS BIGINT) AS simhash FROM sums GROUP BY doc_id), banded AS (SELECT doc_id, simhash, j AS chunk_idx, (simhash >> (j * 15)) & 32767 AS chunk_val FROM fp CROSS JOIN (SELECT unnest(range(4)) AS j) chunks) SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming FROM banded a JOIN banded b ON a.chunk_idx = b.chunk_idx AND a.chunk_val = b.chunk_val WHERE a.doc_id < b.doc_id AND bit_count(xor(a.simhash, b.simhash)) <= 3 ORDER BY doc_a, doc_b""",
+      s"""WITH ${simhashFpCtes("documents")} SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming FROM banded a JOIN banded b ON a.chunk_idx = b.chunk_idx AND a.chunk_val = b.chunk_val WHERE a.doc_id < b.doc_id AND bit_count(xor(a.simhash, b.simhash)) <= 3 ORDER BY doc_a, doc_b""",
+
+    // the SimHash linear CC feed: the same fingerprint chain restricted to
+    // digest-group representatives (a member's fingerprint equals its
+    // rep's — the fingerprint is a pure function of the text), plus
+    // (min-doc rep → other member) star edges for every group of ≥2
+    "doc_simhash_edges" ->
+      s"""WITH grp AS (SELECT md5(text) AS g, doc_id FROM documents), reps AS (SELECT g, min(doc_id) AS rep, count(*) AS n FROM grp GROUP BY g), ${simhashFpCtes("(SELECT * FROM documents WHERE doc_id IN (SELECT rep FROM reps))")}, rp AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b FROM banded a JOIN banded b ON a.chunk_idx = b.chunk_idx AND a.chunk_val = b.chunk_val WHERE a.doc_id < b.doc_id AND bit_count(xor(a.simhash, b.simhash)) <= 3), edges AS (SELECT doc_a, doc_b FROM rp UNION ALL SELECT r.rep AS doc_a, m.doc_id AS doc_b FROM reps r JOIN grp m ON m.g = r.g WHERE m.doc_id != r.rep AND r.n >= 2) SELECT doc_a, doc_b FROM edges ORDER BY doc_a, doc_b""",
+
+    // SimHash keepers: recursive-CTE transitive closure over the
+    // INDEPENDENTLY recomputed quadratic pair relation (no collapse on the
+    // oracle side — the closure is the ground truth the linear feed must
+    // reproduce)
+    "doc_simhash_keepers" ->
+      s"""WITH RECURSIVE ${simhashFpCtes("documents")}, sp AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b FROM banded a JOIN banded b ON a.chunk_idx = b.chunk_idx AND a.chunk_val = b.chunk_val WHERE a.doc_id < b.doc_id AND bit_count(xor(a.simhash, b.simhash)) <= 3), edges AS (SELECT doc_a AS u, doc_b AS v FROM sp UNION ALL SELECT doc_b AS u, doc_a AS v FROM sp), reach AS (SELECT doc_id AS u, doc_id AS r FROM documents UNION SELECT e.v AS u, reach.r FROM reach JOIN edges e ON e.u = reach.u) SELECT u AS doc_id, min(r) AS keeper_doc_id FROM reach GROUP BY u ORDER BY doc_id""",
 
     // HLL registers recomputed independently: same 60-bit md5 word hash,
     // register = top 10 bits, rank = 50-bit leading zeros + 1 via bin()

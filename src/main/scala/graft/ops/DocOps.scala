@@ -257,18 +257,106 @@ object DocOps {
     agg.select(col("doc_id"), fp.as("simhash"))
   }
 
-  /** Near-dup pairs by SimHash Hamming distance ≤ maxDist, found via the
-    * pigeonhole band trick: split the 60-bit fingerprint into maxDist+1
-    * chunks — any pair within distance maxDist shares ≥1 exact chunk, so an
-    * equi-join on (chunk_idx, chunk_value) finds all of them without an
-    * O(n²) scan.
+  /** Shared trunk of [[simhashPairs]] and [[simhashEdges]] (round 7 —
+    * the same digest-collapse hardening [[nearDupCore]] got in round 2):
+    * identical texts collapse to ONE representative (min doc_id per md5
+    * digest) BEFORE banding. The fingerprint is a pure function of the
+    * text, so a degenerate group of k byte-identical docs would otherwise
+    * put k copies into EVERY one of its maxDist+1 chunk buckets —
+    * ~(maxDist+1)·k² candidate rows through the self-join shuffle before
+    * `.distinct()`; after collapsing it costs one representative per
+    * group plus a digest-keyed expansion join. Returns
+    * (members(g, doc_id), reps(g, doc_id, n_members),
+    *  repPairs(doc_a, doc_b, hamming)).
+    *
+    * Pigeonhole band trick: the 60-bit fingerprint splits into maxDist+1
+    * chunks — any pair within Hamming distance maxDist agrees exactly on
+    * ≥1 chunk, so an equi-join on (chunk_idx, chunk_value) finds every
+    * such pair without an O(n²) scan.
+    */
+  private def simhashCore(docs: DataFrame, maxDist: Int)
+      : (DataFrame, DataFrame, DataFrame) = {
+    val chunks = maxDist + 1
+    val width = SimhashBits / chunks
+    // same persist rationale as nearDupCore: the membership table feeds
+    // reps + both expansion sides; it is doc-count-proportional, never
+    // corpus-bytes
+    val members = CacheLedger.track(
+      docs.select(md5(col("text")).as("g"), col("doc_id"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val reps = CacheLedger.track(
+      members.groupBy(col("g"))
+        .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_members"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val repDocs = docs.join(reps.select(col("doc_id")), Seq("doc_id"), "left_semi")
+    val fp = simhash(repDocs)
+    // persisted for the same reason as lshCandidates: the a/b self-join
+    // branches would each recompute the full simhash aggregation
+    val banded = CacheLedger.track(fp.select(col("doc_id"), col("simhash"),
+      posexplode(array((0 until chunks).map { j =>
+        shiftright(col("simhash"), j * width)
+          .bitwiseAND(lit((1L << width) - 1))
+      }: _*)).as(Seq("chunk_idx", "chunk_val")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val a = banded.select(col("chunk_idx"), col("chunk_val"),
+      col("doc_id").as("doc_a"), col("simhash").as("sh_a"))
+    val b = banded.select(col("chunk_idx"), col("chunk_val"),
+      col("doc_id").as("doc_b"), col("simhash").as("sh_b"))
+    val repPairs = a.join(b, Seq("chunk_idx", "chunk_val"))
+      .where(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).cast("long").as("hamming"))
+      .distinct()
+      .where(col("hamming") <= maxDist)
+    (members, reps, repPairs)
+  }
+
+  /** Near-dup pairs by SimHash Hamming distance ≤ maxDist. Output is the
+    * full pair REPORT — quadratic on duplicate groups by contract — but as
+    * of round 7 it is GENERATED from O(k) shuffled data: representatives
+    * band and self-join ([[simhashCore]]), verified rep pairs expand to
+    * members through digest-keyed joins, and within-group pairs are
+    * Hamming 0 by definition (identical text ⇒ identical fingerprint), so
+    * every group of ≥2 emits its member pairs without touching the
+    * candidate shuffle. Byte-identical to the direct formulation
+    * ([[simhashPairsDirect]], spec-asserted); use [[simhashEdges]] as the
+    * CC feed when the k² report rows are not themselves the deliverable.
     */
   def simhashPairs(docs: DataFrame, maxDist: Int = 3): DataFrame = {
+    val (members, reps, repPairs) = simhashCore(docs, maxDist)
+
+    // cross-group: members inherit their representative's fingerprint, so
+    // every (member of A, member of B) pair carries the rep pair's hamming
+    val repToG = reps.select(col("g"), col("doc_id").as("rep"))
+    val cross = repPairs
+      .join(repToG.select(col("g").as("ga"), col("rep").as("doc_a")), Seq("doc_a"))
+      .join(repToG.select(col("g").as("gb"), col("rep").as("doc_b")), Seq("doc_b"))
+      .join(members.select(col("g").as("ga"), col("doc_id").as("a")), Seq("ga"))
+      .join(members.select(col("g").as("gb"), col("doc_id").as("b")), Seq("gb"))
+      .select(least(col("a"), col("b")).as("doc_a"),
+        greatest(col("a"), col("b")).as("doc_b"), col("hamming"))
+
+    // within-group: identical texts, hamming 0 — every doc fingerprints
+    // (unlike the shingle path there is no ≥k-words gate)
+    val dupGroups = reps.where(col("n_members") >= 2).select(col("g"))
+    val m1 = members.join(dupGroups, Seq("g")).select(col("g"), col("doc_id").as("doc_a"))
+    val m2 = members.join(dupGroups, Seq("g")).select(col("g"), col("doc_id").as("doc_b"))
+    val within = m1.join(m2, Seq("g"))
+      .where(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"), lit(0L).as("hamming"))
+
+    cross.union(within)
+  }
+
+  /** The DIRECT (no digest collapse) formulation — kept as the reference
+    * implementation the equivalence spec compares [[simhashPairs]] against.
+    * Quadratic through the candidate shuffle on duplicate groups; never
+    * use at scale.
+    */
+  private[graft] def simhashPairsDirect(docs: DataFrame, maxDist: Int = 3): DataFrame = {
     val chunks = maxDist + 1
     val width = SimhashBits / chunks
     val fp = simhash(docs)
-    // persisted for the same reason as lshCandidates: the a/b self-join
-    // branches would each recompute the full simhash aggregation
     val banded = CacheLedger.track(fp.select(col("doc_id"), col("simhash"),
       posexplode(array((0 until chunks).map { j =>
         shiftright(col("simhash"), j * width)
@@ -286,6 +374,33 @@ object DocOps {
       .distinct()
       .where(col("hamming") <= maxDist)
   }
+
+  /** LINEAR-SIZE edge feed for connected components over the SimHash
+    * near-dup relation — the [[nearDupEdges]] sibling: one (rep_a, rep_b)
+    * edge per verified representative pair plus one (rep, member) STAR
+    * edge per non-representative member of every duplicate group. Every
+    * group of ≥2 stars (no shingling gate — every doc fingerprints), so
+    * the transitive closure is identical to [[simhashPairs]]' pair
+    * relation (spec-asserted incl. a degenerate 10k-copy group costing
+    * O(k) edges); feed to [[keepersFromEdges]] / [[simhashKeepers]].
+    */
+  def simhashEdges(docs: DataFrame, maxDist: Int = 3): DataFrame = {
+    val (members, reps, repPairs) = simhashCore(docs, maxDist)
+    val starGroups = reps.where(col("n_members") >= 2)
+      .select(col("g"), col("doc_id").as("rep"))
+    val star = members.join(starGroups, Seq("g"))
+      .where(col("doc_id") =!= col("rep"))
+      .select(col("rep").as("doc_a"), col("doc_id").as("doc_b"))
+    repPairs.select(col("doc_a"), col("doc_b")).union(star)
+  }
+
+  /** Keeper assignment over the SimHash near-dup graph: keeper = MIN
+    * doc_id of the connected component, via the same alternating
+    * large-star/small-star fixpoint as [[dedupKeepers]], fed by the
+    * linear [[simhashEdges]] relation.
+    */
+  def simhashKeepers(docs: DataFrame, maxDist: Int = 3, maxIters: Int = 25): DataFrame =
+    keepersFromEdges(docs, simhashEdges(docs, maxDist), maxIters)
 
   // ------------------------------------------------------------ text analysis
 

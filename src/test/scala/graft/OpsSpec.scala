@@ -419,7 +419,7 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val s = spark
     import s.implicits._
     val d = Seq(
-      (1L, "alpha beta-42 gamma!"), // ws: 3 tokens; bpe_ish: 7
+      (1L, "alpha beta-42 gamma!"), // ws: 3 tokens; bpe_ish: 6
       (2L, "  "), // empty after trim: 0 either way
       (3L, (1 to 30).map(i => s"tok$i").mkString(" "))
     ).toDF("doc_id", "text")
@@ -720,6 +720,79 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
     assert(close >= nd.length * 0.8,
       s"only $close/${nd.length} J>=0.9 pairs within hamming 12")
+  }
+
+  test("SimHash collapse: pairs ≡ direct formulation (corpus + planted dup groups)") {
+    // round 7: simhashPairs routes through the digest-collapse trunk
+    // (reps band/join, members expand); output must be byte-identical to
+    // the direct formulation on a corpus WITH duplicate groups
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1), r.getLong(2))
+    val viaCollapse = DocOps.simhashPairs(docs).collect().map(key).sorted.toVector
+    val direct = DocOps.simhashPairsDirect(docs).collect().map(key).sorted.toVector
+    assert(viaCollapse === direct)
+    assert(viaCollapse.nonEmpty, "sf corpus should contain near-identical docs")
+
+    val s = spark
+    import s.implicits._
+    // two duplicate groups of the same cluster + an isolated doc: cross
+    // pairs must inherit the rep hamming, within pairs are hamming 0
+    val t1 = (1 to 20).map(i => s"tok$i").mkString(" ")
+    val t2 = (1 to 19).map(i => s"tok$i").mkString(" ") + " tok21"
+    val d = Seq(
+      (0L, t1), (1L, t1), (2L, t1),
+      (10L, t2), (11L, t2),
+      (50L, (100 to 119).map(i => s"zz$i").mkString(" "))).toDF("doc_id", "text")
+    val a = DocOps.simhashPairs(d).collect().map(key).sorted.toVector
+    val b = DocOps.simhashPairsDirect(d).collect().map(key).sorted.toVector
+    assert(a === b)
+    // within-group pairs present with hamming 0
+    assert(a.count { case (x, y, h) => h == 0L && Set(0L, 1L, 2L)(x) && Set(0L, 1L, 2L)(y) } === 3)
+    assert(a.contains((10L, 11L, 0L)))
+  }
+
+  test("SimHash linear edge feed: 10k-copy duplicate group costs O(k) edges, not 4k²") {
+    val s = spark
+    import s.implicits._
+    val k = 10000
+    val dupText = (1 to 20).map(i => s"tok$i").mkString(" ")
+    val nearText = (1 to 19).map(i => s"tok$i").mkString(" ") + " tok21"
+    val farText = (100 to 119).map(i => s"zz$i").mkString(" ")
+    // the hamming relation is deterministic but not hand-computable:
+    // derive the expected near/far connectivity from the fingerprints
+    val fps = DocOps.simhash(
+      Seq((0L, dupText), (1L, nearText), (2L, farText)).toDF("doc_id", "text"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val nearPaired = java.lang.Long.bitCount(fps(0L) ^ fps(1L)) <= 3
+    val farPaired = java.lang.Long.bitCount(fps(0L) ^ fps(2L)) <= 3
+    assert(!farPaired, "unrelated text should not sit within hamming 3")
+
+    val d = ((0 until k).map(i => (i.toLong, dupText)) ++ Seq(
+      (20000L, nearText), (40000L, farText)))
+      .toDF("doc_id", "text").repartition(4)
+    val edges = DocOps.simhashEdges(d).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    // k-1 star edges (rep 0 → members 1..k-1) + the rep pair iff the
+    // fingerprints land within hamming 3 — the direct formulation would
+    // push ~4k² candidate rows through the self-join shuffle
+    assert(edges.length === (k - 1) + (if (nearPaired) 1 else 0))
+    assert(edges.count(e => e._1 == 0L || e._2 == 0L) === edges.length)
+    // inner joins (candidate self-join, star/member expansion) never
+    // carry the text column; the one semi-join selecting rep DOCS
+    // legitimately keeps text (it feeds the fingerprint aggregation)
+    val eJoins = DocOps.simhashEdges(d).queryExecution.optimizedPlan
+      .collect {
+        case j: org.apache.spark.sql.catalyst.plans.logical.Join
+          if j.joinType == org.apache.spark.sql.catalyst.plans.Inner => j
+      }
+    assert(eJoins.nonEmpty)
+    assert(eJoins.forall(_.children.forall(_.output.forall(_.name != "text"))))
+    val keepers = DocOps.simhashKeepers(d).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(keepers.size === k + 2)
+    assert((0 until k).forall(i => keepers(i.toLong) == 0L))
+    assert(keepers(20000L) === (if (nearPaired) 0L else 20000L))
+    assert(keepers(40000L) === 40000L)
   }
 
   /** Deterministic clustered corpus: 12 centroids in R^16, 240 points with
