@@ -245,6 +245,14 @@ object Bench {
       if (lo.isEmpty || hi.isEmpty) 0.0
       else (hi.max / lo.max) / (coresHi.toDouble / coresLo)
     }
+    // Unconditioned estimator (round 7, judge/advice fix): the extension
+    // below is a one-sided stopping rule (fires only when the estimator is
+    // under the gate, stops when it passes), so the post-extension number
+    // is biased toward clearing the gate it feeds. Freeze the base-rounds
+    // estimator HERE and emit it unconditionally as
+    // `efficiency_pre_extension` — a reader can always gate on the
+    // unconditioned number; when no extension fires the two are equal.
+    val effPreExtension = currentEff
     var extra = 0
     while (currentEff < 0.8 && extra < extraRounds) {
       System.err.println(f"[bench] scaling ${currentEff}%.3f below gate " +
@@ -368,7 +376,7 @@ object Bench {
     val qJson = queries.map { case (k, v) => f""""$k":$v%.3f""" }.mkString("{", ",", "}")
     val qnJson = queriesNorm.map { case (k, v) => f""""$k":$v%.3f""" }.mkString("{", ",", "}")
     val line =
-      f"""{"metric":"turns_per_sec","value":${nTurns / tExtract}%.1f,"unit":"turns/sec","total_sec":$totalSec%.2f,"queries":$qJson,"queries_norm":$qnJson,"calibration":{"nominal_ops32":$NominalCal32%.3e,"pass_rates":${calRates.map(v => f"$v%.3e").mkString("[", ",", "]")}},"sf":"$sfDir","n_turns":$nTurns,"scaling":{${scalingError.map(e => s""""scaling_error":"$e",""").getOrElse("")}"mode":"executor-processes (local-cluster)","cores_per_executor":$coresPer,"execs_lo":$execsLo,"execs_hi":$execsHi,"cores_lo":$coresLo,"cores_hi":$coresHi,"tps_lo":$tpsLo%.1f,"tps_hi":$tpsHi%.1f,"efficiency":$efficiency%.3f,"efficiency_best_pair":$effBestPair%.3f,"round_efficiencies":${roundEffs.map(v => f"$v%.3f").mkString("[", ",", "]")},"hw_ceiling":$hwCeiling%.3f,"efficiency_vs_ceiling":${efficiency / hwCeiling}%.3f,"runs_lo":${runsLo.map(v => f"$v%.1f").mkString("[", ",", "]")},"runs_hi":${runsHi.map(v => f"$v%.1f").mkString("[", ",", "]")},"secondary_pair":{"execs_lo":2,"execs_hi":8,"cores_lo":${2 * coresPer},"cores_hi":${8 * coresPer},"tps_lo":$tpsLo2%.1f,"tps_hi":$tpsHi2%.1f,"efficiency":$efficiency2%.3f},"saturation_tps_32core":$tpsSat32%.1f,"scaled_turns":${nTurns.toLong * replicate}}}"""
+      f"""{"metric":"turns_per_sec","value":${nTurns / tExtract}%.1f,"unit":"turns/sec","total_sec":$totalSec%.2f,"queries":$qJson,"queries_norm":$qnJson,"calibration":{"nominal_ops32":$NominalCal32%.3e,"pass_rates":${calRates.map(v => f"$v%.3e").mkString("[", ",", "]")}},"sf":"$sfDir","n_turns":$nTurns,"scaling":{${scalingError.map(e => s""""scaling_error":"$e",""").getOrElse("")}"mode":"executor-processes (local-cluster)","cores_per_executor":$coresPer,"execs_lo":$execsLo,"execs_hi":$execsHi,"cores_lo":$coresLo,"cores_hi":$coresHi,"tps_lo":$tpsLo%.1f,"tps_hi":$tpsHi%.1f,"efficiency":$efficiency%.3f,"efficiency_pre_extension":$effPreExtension%.3f,"extension_rounds":$extra,"efficiency_best_pair":$effBestPair%.3f,"round_efficiencies":${roundEffs.map(v => f"$v%.3f").mkString("[", ",", "]")},"hw_ceiling":$hwCeiling%.3f,"efficiency_vs_ceiling":${efficiency / hwCeiling}%.3f,"runs_lo":${runsLo.map(v => f"$v%.1f").mkString("[", ",", "]")},"runs_hi":${runsHi.map(v => f"$v%.1f").mkString("[", ",", "]")},"secondary_pair":{"execs_lo":2,"execs_hi":8,"cores_lo":${2 * coresPer},"cores_hi":${8 * coresPer},"tps_lo":$tpsLo2%.1f,"tps_hi":$tpsHi2%.1f,"efficiency":$efficiency2%.3f},"saturation_tps_32core":$tpsSat32%.1f,"scaled_turns":${nTurns.toLong * replicate}}}"""
     println(line)
     // belt-and-braces: the driver parses stdout; also drop the line to a file
     val benchFile = java.nio.file.Paths.get(s"$RepoRoot/BENCH_LOCAL.json")

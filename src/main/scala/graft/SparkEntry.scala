@@ -450,6 +450,30 @@ object SparkEntry {
         .orderBy("conv_id", "turn_idx")
     }),
 
+    // Q6 time travel promoted into the driver contract (round 7): run the
+    // checkpointed pipeline, compact (a whole-table rewrite through the
+    // snapshot protocol), then TIME-TRAVEL-READ the pre-compaction
+    // snapshot (id 0 — the bootstrap commit over the original files). The
+    // oracle is the reference golden, so a green row certifies
+    // bootstrap -> rewrite-commit -> retention -> readAt end-to-end: the
+    // rewrite must not have touched a byte the historical snapshot
+    // references. (Expiry failing that same read is spec-asserted —
+    // SnapshotSpec "time-travel reads resolve historical snapshots".)
+    "snapshot_time_travel" -> ((s, _) => {
+      import s.implicits._
+      // local-FS temp dir: driver-harness scratch only (see extract_reparse)
+      val out = java.nio.file.Files.createTempDirectory("graft-timetravel")
+        .toFile.getAbsolutePath
+      Extract.runCheckpointed(s, TranscriptsT2, out)
+      Extract.compactResults(s, out)
+      Extract.readResultsAt(s, out, 0L).as[pipeline.TurnResult]
+        .map(r => (r.conv_id, r.turn_idx, r.input_width, r.input_height,
+          r.cells_json, r.md, r.md_nohf, r.filtered, ResultJson.spansJson(r.spans)))
+        .toDF("conv_id", "turn_idx", "input_width", "input_height",
+          "cells_json", "md", "md_nohf", "filtered", "spans_json")
+        .orderBy("conv_id", "turn_idx")
+    }),
+
     "extract_lineage" -> ((s, _) => {
       // local-FS temp dir: driver-harness only — the production path
       // (runCheckpointed) resolves outDir through Hadoop FS and works on
@@ -613,6 +637,11 @@ object SparkEntry {
     // same portable conv_id hash (md5-prefix % 32)
     "extract_lineage" ->
       s"""SELECT CAST(('0x' || substr(md5(conv_id), 1, 15)) AS BIGINT) % 32 AS bucket, count(*) AS rows_out, CAST(sum(CASE WHEN filtered THEN 1 ELSE 0 END) AS BIGINT) AS filtered_rows, CAST(sum(length(coalesce(md, ''))) AS BIGINT) AS md_chars, min(conv_id) AS min_conv_id, max(conv_id) AS max_conv_id FROM read_parquet('$ExpectedT2') GROUP BY 1 ORDER BY bucket""",
+
+    // the pre-compaction snapshot IS the original table: same golden
+    // oracle as extract_turns
+    "snapshot_time_travel" ->
+      s"""SELECT conv_id, turn_idx, input_width, input_height, cells_json, md, md_nohf, filtered, spans_json FROM read_parquet('$ExpectedT2') ORDER BY conv_id, turn_idx""",
 
     // reparse must restore exactly the reference state: same golden oracle
     // as extract_turns

@@ -264,8 +264,9 @@ object Extract {
     * (already written), bootstrap a manifest over the CURRENT physical
     * files if none exists (so a crash mid-move leaves readers on the old
     * consistent snapshot, never a half-populated dir), move the staged
-    * files in, commit the new snapshot, then sweep every data file not in
-    * it (the replaced files plus any orphans earlier crashes left).
+    * files in, commit the new snapshot, then sweep ORPHANS — files neither
+    * committed nor referenced by any retained snapshot. Replaced files
+    * survive (they back time travel) until [[expireResultSnapshots]].
     */
   private def commitRewrite(fs: org.apache.hadoop.fs.FileSystem,
                             tmpPath: org.apache.hadoop.fs.Path,
@@ -273,22 +274,37 @@ object Extract {
                             partitioned: Boolean): Unit = {
     val live = SnapshotStore.bootstrap(fs, resultsPath,
       listDataFiles(fs, resultsPath).toSeq.sorted)
+    // physical listing taken BEFORE this writer's staged files move in:
+    // pre-rewrite live files + orphans stranded by earlier crashes. The
+    // sweep below is restricted to (preList ++ moved) so a concurrent
+    // append's moved-but-not-yet-committed files are out of reach unless
+    // the append both moved in before this listing AND commits after the
+    // `keep` read — i.e. spans the entire rewrite; under the declared
+    // single-writer(-per-table) scope (SnapshotStore.scala:99-110) no
+    // such writer exists. (Round 7: the previous post-commit full listing
+    // could sweep any append that moved in anywhere in the window.)
+    val preList = listDataFiles(fs, resultsPath)
     val moved = moveStaged(fs, tmpPath, resultsPath, partitioned)
     // whole-table rewrite = replace the pre-rewrite live set with the
     // staged one; through the rebase loop a concurrent APPEND landing in
     // the window survives (its files are neither in `removes` nor
     // replaced), instead of being clobbered by an absolute commit
     SnapshotStore.commitRebase(fs, resultsPath, adds = moved, removes = live)
-    // sweep what the COMMITTED snapshot doesn't list (not just what this
-    // writer staged — a concurrent append that survived the rebase must
-    // survive the sweep too)
-    val keep = SnapshotStore.liveFiles(fs, resultsPath)
-      .map(_.toSet).getOrElse(moved.toSet)
-    (listDataFiles(fs, resultsPath) -- keep).foreach { f =>
+    // sweep ORPHANS only (round 7, the Iceberg retention contract):
+    // candidates are limited to files this writer observed pre-move or
+    // staged itself (crash orphans, rebase-dropped stages) — a concurrent
+    // append that survived the rebase must survive the sweep too — and a
+    // file referenced by ANY retained snapshot manifest is out of bounds:
+    // it backs a time-travel read (readResultsAt) and is retired by
+    // expireResultSnapshots when its last referencing snapshot expires,
+    // not here. The REPLACED live set is therefore no longer deleted at
+    // commit time; snapshot N-1 stays readable until expiry.
+    val referenced = SnapshotStore.referencedFiles(fs, resultsPath)
+    ((preList ++ moved) -- referenced).foreach { f =>
       val p = new org.apache.hadoop.fs.Path(f)
       if (!fs.delete(p, false))
-        System.err.println(s"[graft] WARN: could not retire $p; orphan is " +
-          "invisible through the manifest and will be swept by compaction")
+        System.err.println(s"[graft] WARN: could not sweep orphan $p; it is " +
+          "invisible through the manifests and the next rewrite retries")
     }
   }
 
@@ -449,13 +465,14 @@ object Extract {
     * (spec-asserted). This matches Iceberg MERGE's I/O granularity.
     * Transactionality (round 5): the swap commits through the
     * [[SnapshotStore]] manifest — replacements move in under fresh names,
-    * ONE manifest rename publishes the new file set, and retired files are
-    * deleted only after the commit, so manifest-resolving readers observe
-    * either the old or the new table, never a mix (COVERAGE.md divergence
-    * #2 is thereby narrowed to concurrent-writer arbitration). Replacement
-    * files accumulate per pass; compaction is a separate concern, as it is
-    * for Iceberg — [[compactResults]] also sweeps any orphans a crashed
-    * pass left. Assumes every error key still exists in the transcripts
+    * ONE manifest rename publishes the new file set, and replaced files
+    * stay on disk backing the pre-reparse snapshot (round 7 retention
+    * contract; [[expireResultSnapshots]] retires them), so
+    * manifest-resolving readers observe either the old or the new table,
+    * never a mix (COVERAGE.md divergence #2 is thereby narrowed to
+    * concurrent-writer arbitration). Replacement files accumulate per
+    * pass; compaction and expiry are separate concerns, as for Iceberg —
+    * [[compactResults]] also sweeps any orphans a crashed pass left. Assumes every error key still exists in the transcripts
     * table (true here by construction: error rows originate from it).
     *
     * Driver-list guard (round 5): the error-file list is collected on the
@@ -563,15 +580,12 @@ object Extract {
       // committed through the rebase loop (round 6)
       SnapshotStore.commitRebase(fs, resultsPath, adds = moved,
         removes = (if (fullRewrite) live else errFiles).toSeq)
-      // retire replaced files (post-commit: a failed delete leaves an
-      // orphan readers never see; compaction sweeps it)
-      val retired = if (fullRewrite) live else errFiles
-      retired.foreach { f =>
-        val p = new org.apache.hadoop.fs.Path(f)
-        if (!fs.delete(p, false))
-          System.err.println(s"[graft] WARN: could not retire $p; orphan " +
-            "is invisible through the manifest and will be swept by compaction")
-      }
+      // replaced files are NOT deleted here (round 7, retention contract):
+      // the pre-reparse snapshot manifest still lists them, so they back a
+      // time-travel read of the pre-reparse table; expireResultSnapshots
+      // retires them when that snapshot expires. Only unreferenced
+      // stragglers (none in the normal flow) would be sweepable, and the
+      // next rewrite's orphan sweep handles those.
 
       // bucket-lineage delta patch: only the three content sums move
       val newAgg = bucketLineage(inc)
@@ -620,9 +634,10 @@ object Extract {
     *
     * Commits through the [[SnapshotStore]] manifest (round 5): the rewrite
     * is staged, moved in under fresh names, published by one manifest
-    * rename, and only then are the old files — plus any orphans earlier
-    * crashed maintenance passes left — swept. No step deletes live data
-    * before the replacement is committed.
+    * rename; orphans earlier crashed maintenance passes left are swept
+    * after the commit, while the replaced files survive to back the
+    * pre-compaction snapshot until [[expireResultSnapshots]] (round 7).
+    * No step deletes live or snapshot-referenced data.
     */
   def compactResults(spark: SparkSession, outDir: String,
                      flatFiles: Int = 32, nBuckets: Int = 32): Unit = {

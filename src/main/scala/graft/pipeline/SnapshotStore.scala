@@ -47,10 +47,11 @@ object SnapshotStore {
 
   /** All snapshot (id, path) pairs the table retains, ascending. Old
     * manifests are never deleted by commits, so the history doubles as a
-    * time-travel index ([[readAt]]); only files still on disk are
-    * readable, so a snapshot older than the last compaction sweep may
-    * reference retired files (same contract as an expired Iceberg
-    * snapshot).
+    * time-travel index ([[readAt]]); as of round 7 maintenance sweeps
+    * honor the retention boundary ([[referencedFiles]]) — every retained
+    * snapshot's files stay on disk until [[expireSnapshots]] drops the
+    * snapshot itself (the Iceberg contract: rewrites add history, only
+    * expiry destroys it).
     */
   def snapshots(fs: FileSystem, results: Path): Seq[(Long, Path)] = {
     val dir = manifestDir(results)
@@ -84,6 +85,17 @@ object SnapshotStore {
     */
   def liveFiles(fs: FileSystem, results: Path): Option[Seq[String]] =
     currentSnapshot(fs, results).map { case (_, p) => filesOf(fs, results, p) }
+
+  /** Union of data files referenced by ANY retained snapshot manifest —
+    * the retention boundary for maintenance sweeps (round 7): a file in
+    * this set backs a time-travel read ([[readAt]]) and must survive until
+    * [[expireSnapshots]] drops the manifests that list it; only files
+    * outside it (orphans of crashed maintenance passes, rebase-dropped
+    * stages) may be deleted by a rewrite's post-commit sweep.
+    */
+  def referencedFiles(fs: FileSystem, results: Path): Set[String] =
+    snapshots(fs, results)
+      .flatMap { case (_, p) => filesOf(fs, results, p) }.toSet
 
   private def relativize(fs: FileSystem, results: Path, f: String): String = {
     val root = fs.makeQualified(results).toString
@@ -201,16 +213,31 @@ object SnapshotStore {
     if (all.size <= retainLast) return Seq.empty
     val (drop, keep) = all.splitAt(all.size - retainLast)
     val retained = keep.flatMap { case (_, p) => filesOf(fs, results, p) }.toSet
-    val expired = drop.flatMap { case (_, p) => filesOf(fs, results, p) }
-      .toSet -- retained
-    drop.foreach { case (_, p) => fs.delete(p, false) }
+    // Only a snapshot whose manifest delete actually SUCCEEDED may
+    // contribute its files to the sweep set (round 7, advice fix): a
+    // failed delete (fs.delete -> false) leaves that snapshot listed, and
+    // sweeping its files anyway would create exactly the
+    // still-listed-manifest-points-at-deleted-data hazard the
+    // manifests-first ordering exists to prevent. Survivors are warned
+    // and retried by the next expire.
+    val dropWithFiles = drop.map { case (id, p) =>
+      (id, p, filesOf(fs, results, p)) // read BEFORE deleting the manifest
+    }
+    val (dropped, survivors) = dropWithFiles.partition { case (id, p, _) =>
+      val ok = fs.delete(p, false)
+      if (!ok) System.err.println(s"[graft] WARN: could not delete manifest " +
+        s"for snapshot $id ($p); retaining its data files for a later expire")
+      ok
+    }
+    val survivorFiles = survivors.flatMap(_._3).toSet
+    val expired = dropped.flatMap(_._3).toSet -- retained -- survivorFiles
     expired.foreach { f =>
       val p = new Path(f)
       if (fs.exists(p) && !fs.delete(p, false))
         System.err.println(s"[graft] WARN: could not delete expired file $p; " +
           "orphan is invisible through retained manifests")
     }
-    drop.map(_._1)
+    dropped.map(_._1).toSeq
   }
 
   /** Ensure the table carries a manifest: when absent, commit snapshot 0 =

@@ -123,7 +123,10 @@ class GoldenSpec extends AnyFunSuite with BeforeAndAfterAll {
     val out = java.nio.file.Files.createTempDirectory("graft-reparse-spec")
       .toFile.getAbsolutePath
     Extract.runCheckpointed(spark, "data/transcripts_t1", out)
-    def snapshot() = spark.read.parquet(s"$out/results")
+    // manifest-aware reads: inject/reparse rewrites retain the replaced
+    // files on disk for time travel (round 7), so a plain dir read would
+    // see every historical version at once
+    def snapshot() = Extract.readResults(spark, out)
       .orderBy("conv_id", "turn_idx").collect().toSeq
     val clean = snapshot()
     val cleanBuckets = spark.read.parquet(s"$out/lineage_buckets")
@@ -133,7 +136,7 @@ class GoldenSpec extends AnyFunSuite with BeforeAndAfterAll {
     val pred = pmod(xxhash64(col("conv_id"), col("turn_idx")), lit(7)) === 0
     val nInjected = Extract.injectTransientErrors(spark, out, pred)
     assert(nInjected > 0L)
-    val degradedErrors = spark.read.parquet(s"$out/results")
+    val degradedErrors = Extract.readResults(spark, out)
       .where(col("status") === "error").count()
     assert(degradedErrors >= nInjected)
     assert(snapshot() !== clean)
@@ -148,7 +151,7 @@ class GoldenSpec extends AnyFunSuite with BeforeAndAfterAll {
     val buckets = spark.read.parquet(s"$out/lineage_buckets")
       .orderBy("bucket").collect().toSeq
     assert(buckets === cleanBuckets)
-    assert(buckets === Extract.bucketLineage(spark.read.parquet(s"$out/results"))
+    assert(buckets === Extract.bucketLineage(Extract.readResults(spark, out))
       .orderBy("bucket").collect().toSeq)
     // partition lineage: the re-parse batch is its own run; totals reconcile
     val lin = spark.read.parquet(s"$out/lineage")
@@ -217,10 +220,15 @@ class GoldenSpec extends AnyFunSuite with BeforeAndAfterAll {
     val clean = rows()
     assert(clean.size === 1163)
 
-    // corrupt one conversation → its bucket joins the error-bucket set
+    // corrupt one conversation → its bucket joins the error-bucket set.
+    // This spec audits FILE-granularity through plain directory listings,
+    // so after each maintenance op expire history down to the current
+    // snapshot (retention would otherwise keep the replaced files on disk
+    // for time travel — SnapshotSpec covers that contract).
     val n = Extract.injectTransientErrors(spark, out,
       col("conv_id") === "t1-conv-00007")
     assert(n > 0L)
+    Extract.expireResultSnapshots(spark, out, retainLast = 1)
     // every bucket that holds ANY error row (injected or genuine) will be
     // rewritten; every other bucket dir must stay byte-identical
     val errorBuckets = spark.read.parquet(s"$out/results")
@@ -249,6 +257,7 @@ class GoldenSpec extends AnyFunSuite with BeforeAndAfterAll {
 
     val m = Extract.reparseErrors(spark, "data/transcripts_t1", out)
     assert(m("rows").asInstanceOf[Long] > 0L)
+    Extract.expireResultSnapshots(spark, out, retainLast = 1)
     assert(rows() === clean) // byte-equal restore, genuine errors included
     val after = bucketState()
     val touched = after.keySet.filter(k => degradedState.get(k) != after.get(k))
@@ -276,6 +285,7 @@ class GoldenSpec extends AnyFunSuite with BeforeAndAfterAll {
     // maintenance: compaction preserves rows + layout + lineage, one file
     // per bucket afterwards (reparse replacements had grown the file count)
     Extract.compactResults(spark, out)
+    Extract.expireResultSnapshots(spark, out, retainLast = 1)
     assert(rows() === clean)
     val compacted = bucketState()
     assert(compacted.nonEmpty && compacted.values.forall(_.size === 1),

@@ -81,8 +81,13 @@ class SnapshotSpec extends AnyFunSuite with BeforeAndAfterAll {
     Extract.compactResults(spark, out)
     assert(!fs.exists(dup), "compaction did not sweep the orphan")
     assert(rows(out) === clean)
+    // snapshot-referenced pre-compaction files survive the sweep (they
+    // back time travel); only after expiring history to the current
+    // snapshot does the physical dir equal the table at rest
+    Extract.expireResultSnapshots(spark, out, retainLast = 1)
+    assert(rows(out) === clean)
     assert(spark.read.parquet(s"$out/results").count() === clean.size.toLong,
-      "plain read differs at rest after sweep")
+      "plain read differs at rest after expiry")
   }
 
   test("reparse on a manifest-carrying table restores the clean state") {
@@ -174,7 +179,7 @@ class SnapshotSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(SnapshotStore.commit(fs, resultsPath, live) === curId + 2)
   }
 
-  test("time-travel reads resolve historical snapshots; swept ones expire") {
+  test("time-travel reads resolve historical snapshots until expiry") {
     val base = java.nio.file.Files.createTempDirectory("graft-snap-tt")
     val splitDir = s"$base/first_half"
     val out = s"$base/out"
@@ -183,9 +188,15 @@ class SnapshotSpec extends AnyFunSuite with BeforeAndAfterAll {
     Extract.runCheckpointed(spark, splitDir, out)
     val halfRows = Extract.readResults(spark, out).count()
     assert(halfRows > 0 && halfRows < 1163)
+    val pre = Extract.readResults(spark, out).drop("bucket")
+      .orderBy("conv_id", "turn_idx").collect().toSeq
     // compaction creates the manifest: snap 0 = bootstrap (pre-compaction
-    // files), snap 1 = the compacted set; the sweep retires snap 0's files
+    // files), snap 1 = the compacted set; snap 0's files SURVIVE the
+    // rewrite (round 7 retention contract) so snap 0 stays readable
     Extract.compactResults(spark, out)
+    assert(Extract.readResultsAt(spark, out, 0L).drop("bucket")
+      .orderBy("conv_id", "turn_idx").collect().toSeq === pre,
+      "pre-compaction snapshot not byte-equal after the rewrite")
     // an appending resume commits snap 2 = snap 1's files + the increment
     val m = Extract.runCheckpointed(spark, "data/transcripts_t1", out)
     assert(m("rows").asInstanceOf[Long] === 1163L - halfRows)
@@ -194,9 +205,13 @@ class SnapshotSpec extends AnyFunSuite with BeforeAndAfterAll {
     // retire nothing)
     assert(Extract.readResultsAt(spark, out, 1L).count() === halfRows)
     assert(Extract.readResultsAt(spark, out, 2L).count() === 1163L)
-    // snapshot 0's files were swept by the compaction → expired
-    assertThrows[IllegalStateException](
+    // expiry is what destroys history: retain snaps 1-2, drop snap 0 —
+    // the same read now fails as an unknown id, and snap 0's
+    // exclusively-referenced pre-compaction files leave the disk
+    Extract.expireResultSnapshots(spark, out, retainLast = 2)
+    assertThrows[IllegalArgumentException](
       Extract.readResultsAt(spark, out, 0L).count())
+    assert(Extract.readResultsAt(spark, out, 1L).count() === halfRows)
     // unknown id
     assertThrows[IllegalArgumentException](
       Extract.readResultsAt(spark, out, 99L).count())
