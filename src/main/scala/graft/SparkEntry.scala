@@ -237,6 +237,24 @@ object SparkEntry {
     "doc_dedup_keepers" -> ((s, dir) =>
       DocOps.dedupKeepers(docs(s, dir), tau = 0.5).orderBy("doc_id")),
 
+    // INCREMENTAL keeper maintenance across appends (round 7): labels
+    // from a prior run over batch 1 (~3/4 of the corpus by salted hash)
+    // are updated with only the edges the full-corpus feed adds — the
+    // star fixpoint runs over the CONTRACTED graph (old component roots +
+    // new docs), never revisiting old edges. Must equal the full
+    // recompute, so the oracle is doc_dedup_keepers' recursive closure
+    // verbatim. (exceptAll stands in for the production incident-edge
+    // feed: any edge set containing the full feed's additions works.)
+    "doc_dedup_keepers_incr" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val b1 = d.where(pmod(DocOps.md5Hash60(
+        concat(lit("batch:"), col("doc_id").cast("string"))), lit(4L)) =!= 0L)
+      val e1 = DocOps.nearDupEdges(b1, tau = 0.5)
+      val labels1 = DocOps.keepersFromEdges(b1, e1)
+      val eNew = DocOps.nearDupEdges(d, tau = 0.5).exceptAll(e1)
+      DocOps.keepersFromEdgesIncremental(d, labels1, eNew).orderBy("doc_id")
+    }),
+
     "doc_simhash_pairs" -> ((s, dir) =>
       DocOps.simhashPairs(docs(s, dir), maxDist = 3).orderBy("doc_a", "doc_b")),
 
@@ -291,6 +309,18 @@ object SparkEntry {
       val d = docs(s, dir)
       val ev = DocOps.evalSplit(d)
       DocOps.exciseContaminated(
+        d.join(ev.select(col("doc_id")), Seq("doc_id"), "left_anti"), ev,
+        broadcastEval = false).orderBy("doc_id")
+    }),
+
+    // char-span excision (round 7): same removal decision as
+    // doc_excise_contaminated, but survivors are SPLICED from the
+    // original text — every byte outside the excised spans (inter-word
+    // whitespace runs, leading/trailing whitespace) survives untouched
+    "doc_excise_spans" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val ev = DocOps.evalSplit(d)
+      DocOps.exciseContaminatedSpans(
         d.join(ev.select(col("doc_id")), Seq("doc_id"), "left_anti"), ev,
         broadcastEval = false).orderBy("doc_id")
     }),
@@ -375,6 +405,14 @@ object SparkEntry {
     "doc_pack_sequences_bpe" -> ((s, dir) =>
       DocOps.packSequences(docs(s, dir), tokenizer = "bpe_ish")
         .orderBy("doc_id")),
+
+    // packing with the bucket count DERIVED from corpus token volume
+    // (round 7): nBuckets = max(8, ceil(total_ws_tokens / 4096)) — a
+    // small target so the test corpus exercises the data-dependent branch
+    // of the sizing rule (production default is 2^27 tokens/bucket)
+    "doc_pack_sequences_sized" -> ((s, dir) =>
+      DocOps.packSequencesSized(docs(s, dir),
+        targetTokensPerBucket = 4096L, minBuckets = 8).orderBy("doc_id")),
 
     "doc_fingerprint" -> ((s, dir) => DocOps.fingerprint(docs(s, dir)).orderBy("doc_id")),
 
@@ -697,6 +735,12 @@ object SparkEntry {
     "doc_dedup_keepers" ->
       s"""WITH RECURSIVE ${JaccardCte.stripPrefix("WITH ")}, edges AS (SELECT doc_a AS u, doc_b AS v FROM pairs UNION ALL SELECT doc_b AS u, doc_a AS v FROM pairs), reach AS (SELECT doc_id AS u, doc_id AS r FROM documents UNION SELECT e.v AS u, reach.r FROM reach JOIN edges e ON e.u = reach.u) SELECT u AS doc_id, min(r) AS keeper_doc_id FROM reach GROUP BY u ORDER BY doc_id""",
 
+    // incremental maintenance must reproduce the full recompute exactly:
+    // the oracle is the same recursive transitive closure over the full
+    // corpus — the batch split exists only on the Spark side
+    "doc_dedup_keepers_incr" ->
+      s"""WITH RECURSIVE ${JaccardCte.stripPrefix("WITH ")}, edges AS (SELECT doc_a AS u, doc_b AS v FROM pairs UNION ALL SELECT doc_b AS u, doc_a AS v FROM pairs), reach AS (SELECT doc_id AS u, doc_id AS r FROM documents UNION SELECT e.v AS u, reach.r FROM reach JOIN edges e ON e.u = reach.u) SELECT u AS doc_id, min(r) AS keeper_doc_id FROM reach GROUP BY u ORDER BY doc_id""",
+
     // the same transitive closure, aggregated to the cluster-size histogram
     "doc_dedup_stats" ->
       s"""WITH RECURSIVE ${JaccardCte.stripPrefix("WITH ")}, edges AS (SELECT doc_a AS u, doc_b AS v FROM pairs UNION ALL SELECT doc_b AS u, doc_a AS v FROM pairs), reach AS (SELECT doc_id AS u, doc_id AS r FROM documents UNION SELECT e.v AS u, reach.r FROM reach JOIN edges e ON e.u = reach.u), keepers AS (SELECT u AS doc_id, min(r) AS keeper FROM reach GROUP BY u), clusters AS (SELECT keeper, CAST(count(*) AS BIGINT) AS cluster_size FROM keepers GROUP BY keeper) SELECT cluster_size, CAST(count(*) AS BIGINT) AS n_clusters FROM clusters GROUP BY cluster_size ORDER BY cluster_size""",
@@ -733,6 +777,17 @@ object SparkEntry {
       val cat = (0 until DocOps.DecontamK)
         .map(j => if (j == 0) "w[i]" else s"w[i+$j]").mkString(" || ' ' || ")
       s"""WITH $DecontamCtes, pw AS (SELECT doc_id, unnest(range(1, len(w)-${DocOps.DecontamK - 2})) AS i, w FROM words WHERE len(w) >= ${DocOps.DecontamK} AND doc_id IN (SELECT doc_id FROM corpus)), psh AS (SELECT doc_id, i - 1 AS pos, $cat AS s FROM pw), st AS (SELECT doc_id, list(DISTINCT pos) AS starts FROM psh WHERE s IN (SELECT s FROM evs) GROUP BY doc_id), reb AS (SELECT w.doc_id, list_transform(list_filter(range(len(w.w)), i -> len(list_filter(st.starts, s -> i >= s AND i < s + ${DocOps.DecontamK})) = 0), i -> w.w[i + 1]) AS kept, len(w.w) AS nw FROM words w JOIN st ON st.doc_id = w.doc_id) SELECT d.doc_id, CASE WHEN reb.doc_id IS NULL THEN d.text ELSE coalesce(array_to_string(reb.kept, ' '), '') END AS cleaned_text, CASE WHEN reb.doc_id IS NULL THEN CAST(0 AS BIGINT) ELSE CAST(reb.nw - len(reb.kept) AS BIGINT) END AS n_words_removed FROM documents d LEFT JOIN reb ON reb.doc_id = d.doc_id WHERE d.doc_id IN (SELECT doc_id FROM corpus) ORDER BY d.doc_id"""
+    },
+
+    // char-span excision: same matched-window starts; survivors rebuilt
+    // from '\s*\S+' SEGMENTS (word + its preceding whitespace run, index-
+    // aligned with the word positions) + the trailing whitespace run —
+    // splice offsets are code-point-based in both engines. array_to_string
+    // of an empty list is NULL in DuckDB ('' via Spark) → coalesce.
+    "doc_excise_spans" -> {
+      val cat = (0 until DocOps.DecontamK)
+        .map(j => if (j == 0) "w[i]" else s"w[i+$j]").mkString(" || ' ' || ")
+      s"""WITH $DecontamCtes, pw AS (SELECT doc_id, unnest(range(1, len(w)-${DocOps.DecontamK - 2})) AS i, w FROM words WHERE len(w) >= ${DocOps.DecontamK} AND doc_id IN (SELECT doc_id FROM corpus)), psh AS (SELECT doc_id, i - 1 AS pos, $cat AS s FROM pw), st AS (SELECT doc_id, list(DISTINCT pos) AS starts FROM psh WHERE s IN (SELECT s FROM evs) GROUP BY doc_id), seg AS (SELECT doc_id, regexp_extract_all(text, '\\s*\\S+') AS segs FROM documents WHERE doc_id IN (SELECT doc_id FROM corpus)), reb AS (SELECT seg.doc_id, seg.segs, list_transform(list_filter(range(len(seg.segs)), i -> len(list_filter(st.starts, s -> i >= s AND i < s + ${DocOps.DecontamK})) = 0), i -> seg.segs[i + 1]) AS kept FROM seg JOIN st ON st.doc_id = seg.doc_id) SELECT d.doc_id, CASE WHEN reb.doc_id IS NULL THEN d.text ELSE coalesce(array_to_string(reb.kept, ''), '') || substr(d.text, length(coalesce(array_to_string(reb.segs, ''), '')) + 1) END AS cleaned_text, CASE WHEN reb.doc_id IS NULL THEN CAST(0 AS BIGINT) ELSE CAST(len(reb.segs) - len(reb.kept) AS BIGINT) END AS n_words_removed FROM documents d LEFT JOIN reb ON reb.doc_id = d.doc_id WHERE d.doc_id IN (SELECT doc_id FROM corpus) ORDER BY d.doc_id"""
     },
 
     // eval-side leak report: the same shingle CTEs, aggregated per EVAL
@@ -807,6 +862,12 @@ object SparkEntry {
     // regex segmentation as doc_tokens' bpe_ish_tokens
     "doc_pack_sequences_bpe" ->
       """WITH t AS (SELECT doc_id, CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS n_tokens, CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 32 AS bucket FROM documents), c AS (SELECT doc_id, bucket, n_tokens, CAST(sum(n_tokens) OVER (PARTITION BY bucket ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum FROM t) SELECT doc_id, bucket, n_tokens, CAST(floor(CAST(cum - n_tokens AS DOUBLE) / 2048.0) AS BIGINT) AS pack_id, (cum - n_tokens) % 2048 AS pack_offset FROM c ORDER BY doc_id""",
+
+    // sized packing: the bucket count is derived in a scalar CTE —
+    // greatest(8, ceil(total/4096)) via integer-exact floor((t+4095)/4096)
+    // — then the same windowed cumsum replays per derived bucket
+    "doc_pack_sequences_sized" ->
+      """WITH t AS (SELECT doc_id, CASE WHEN length(trim(text)) = 0 THEN CAST(0 AS BIGINT) ELSE CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) END AS n_tokens FROM documents), nb AS (SELECT greatest(CAST(8 AS BIGINT), CAST(floor(CAST(sum(n_tokens) + 4095 AS DOUBLE) / 4096.0) AS BIGINT)) AS n FROM t), b AS (SELECT doc_id, n_tokens, CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % (SELECT n FROM nb) AS bucket FROM t), c AS (SELECT doc_id, bucket, n_tokens, CAST(sum(n_tokens) OVER (PARTITION BY bucket ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum FROM b) SELECT doc_id, bucket, n_tokens, CAST(floor(CAST(cum - n_tokens AS DOUBLE) / 2048.0) AS BIGINT) AS pack_id, (cum - n_tokens) % 2048 AS pack_offset FROM c ORDER BY doc_id""",
 
     // stratified sampling: the same salted 60-bit hash vs the same
     // floor(rate·2^60) integer thresholds (0.25→2^58, 0.5→2^59, 0→0,

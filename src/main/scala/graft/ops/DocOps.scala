@@ -791,6 +791,56 @@ object DocOps {
           .as("n_words_removed"))
   }
 
+  /** CHAR-SPAN excision (round 7) — [[exciseContaminated]] with byte
+    * fidelity: instead of rebuilding survivors single-space-joined (the
+    * declared whitespace loss of the word-level rebuild), splice the
+    * ORIGINAL text so every byte outside an excised span — including the
+    * exact inter-word whitespace runs, leading and trailing whitespace —
+    * survives untouched. This is the variant a real split-correction
+    * pipeline ships: excision must not perturb the document around the
+    * removed spans.
+    *
+    * Mechanics: the text is segmented by `\s*\S+` — each segment is one
+    * word GLUED to the whitespace run that precedes it (the first segment
+    * carries any leading whitespace; the trailing whitespace run after the
+    * last word is unmatched and re-appended verbatim). Segment index ==
+    * the word index [[shinglesPositioned]] reports, so the contaminated
+    * start set indexes the segment array directly: a word covered by any
+    * matched k-gram window [start, start+k) is dropped WITH its preceding
+    * separator, and the next surviving word contributes its own preceding
+    * separator — so splice points collapse to a single original-byte
+    * separator, never doubled whitespace, and a doc with no matches
+    * reconstructs byte-identically (spec-asserted). Docs with no matches
+    * short-circuit to the original text column without touching the
+    * segmentation at all.
+    *
+    * 100-TB shape: identical to [[exciseContaminated]] — the removal set
+    * travels as (doc_id, start) ints; the splice is a pure per-row
+    * projection (regexp segmentation + index-aware filter HOF), text never
+    * crosses an exchange.
+    */
+  def exciseContaminatedSpans(corpus: DataFrame, evalDocs: DataFrame,
+                              k: Int = DecontamK,
+                              broadcastEval: Boolean = true): DataFrame = {
+    val starts = contamHits(corpus, evalDocs, k, broadcastEval)
+      .groupBy(col("doc_id")).agg(collect_set(col("pos")).as("starts"))
+    val segs = regexp_extract_all(col("text"), lit("\\s*\\S+"), lit(0))
+    val kept = filter(segs, (_, i) =>
+      !exists(col("starts"), st => i >= st && i < st + k))
+    // everything after the last segment = the trailing whitespace run
+    // (code-point offsets — length/substr count code points in both
+    // engines, so the oracle splices at identical positions)
+    val trailing = col("text").substr(
+      length(array_join(segs, "")) + 1, length(col("text")))
+    corpus.join(starts, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("starts").isNull, col("text"))
+          .otherwise(concat(array_join(kept, ""), trailing)).as("cleaned_text"),
+        when(col("starts").isNull, 0L)
+          .otherwise((size(segs) - size(kept)).cast("long"))
+          .as("n_words_removed"))
+  }
+
   /** The REVERSE direction of [[decontamAgainst]] (round 6): per EVAL
     * doc, how compromised is the benchmark item itself — how many of its
     * distinct k-gram shingles occur anywhere in the corpus, and how many
@@ -1040,18 +1090,22 @@ object DocOps {
     * sequential — so the corpus is first split into `nBuckets`
     * INDEPENDENT streams by the portable doc_id hash, and the cumsum
     * window runs per bucket in parallel (one shuffle, bounded partitions).
-    * A trainer consumes packs per (bucket, pack_id); global pack ids are
-    * unnecessary at scale and deliberately not produced. All arithmetic
-    * is integer, so the DuckDB window replay is exact.
+    * Each bucket's window is ONE task over ~corpus/nBuckets rows, so the
+    * bucket count must SCALE with the corpus — size it via
+    * [[packBucketCount]] (or call [[packSequencesSized]], which derives
+    * it); the 32-bucket default here is a small-scale convenience, not a
+    * production setting. A trainer consumes packs per (bucket, pack_id);
+    * global pack ids are unnecessary at scale and deliberately not
+    * produced. All arithmetic is integer, so the DuckDB window replay is
+    * exact.
     */
-  def packSequences(docs: DataFrame, budget: Long = 2048,
-                    nBuckets: Int = 32,
-                    tokenizer: String = "ws"): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    // trainers pack by TOKENIZER counts, not words — "bpe_ish" budgets by
-    // the same segmentation tokenStats reports (letter runs | digit runs |
-    // single other-symbol), "ws" by whitespace words
-    val toks = tokenizer match {
+  /** The per-doc token-count column both packing entry points budget by —
+    * trainers pack by TOKENIZER counts, not words: "bpe_ish" budgets by
+    * the same segmentation [[tokenStats]] reports (letter runs | digit
+    * runs | single other-symbol), "ws" by whitespace words.
+    */
+  private def packTokens(tokenizer: String): org.apache.spark.sql.Column =
+    tokenizer match {
       case "ws" => when(length(trim(col("text"))) === 0, 0L)
         .otherwise(size(split(trim(col("text")), "\\s+")).cast("long"))
       case "bpe_ish" =>
@@ -1060,6 +1114,12 @@ object DocOps {
       case other => throw new IllegalArgumentException(
         s"unknown tokenizer '$other' (expected ws | bpe_ish)")
     }
+
+  def packSequences(docs: DataFrame, budget: Long = 2048,
+                    nBuckets: Int = 32,
+                    tokenizer: String = "ws"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = packTokens(tokenizer)
     val w = Window.partitionBy(col("bucket")).orderBy(col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     docs.select(col("doc_id"), toks.as("n_tokens"))
@@ -1071,6 +1131,43 @@ object DocOps {
         // the division is exact: per-bucket token sums stay far below 2^53
         floor((col("cum_tokens") - col("n_tokens")) / lit(budget)).as("pack_id"),
         ((col("cum_tokens") - col("n_tokens")) % lit(budget)).as("pack_offset"))
+  }
+
+  /** The bucket-count sizing rule for [[packSequences]] (round 7): one
+    * bucket per `targetTokensPerBucket` tokens, floored at `minBuckets`.
+    * Each bucket's cumsum window is ONE task sorting ~corpus/nBuckets
+    * (doc_id, n_tokens) rows — a constant default caps parallelism AND
+    * per-task memory at scale (32 buckets over a 100-TB corpus is ~3 TB of
+    * window input per task), so the count must grow with the corpus. The
+    * default target (2²⁷ ≈ 134 M tokens ≈ a few hundred MB of window rows
+    * per task) keeps every bucket comfortably inside one executor while
+    * the bucket count scales linearly with corpus volume. Integer
+    * ceil-division, so any engine replays it exactly.
+    */
+  def packBucketCount(totalTokens: Long, targetTokensPerBucket: Long = 1L << 27,
+                      minBuckets: Int = 32): Int = {
+    require(targetTokensPerBucket > 0 && minBuckets >= 1,
+      s"bad sizing: target=$targetTokensPerBucket min=$minBuckets")
+    math.max(minBuckets.toLong,
+      (totalTokens + targetTokensPerBucket - 1) / targetTokensPerBucket)
+      .min(Int.MaxValue.toLong).toInt
+  }
+
+  /** [[packSequences]] with `nBuckets` DERIVED from the corpus token
+    * volume via [[packBucketCount]] — the production entry point, so the
+    * constant-bucket default is never a trap at scale. The one-pass token
+    * total is a control-plane aggregate (a single long to the driver, like
+    * the IVF centroid collects); pack assignment itself stays the same
+    * deterministic, repartition-invariant hash-bucket cumsum.
+    */
+  def packSequencesSized(docs: DataFrame, budget: Long = 2048,
+                         targetTokensPerBucket: Long = 1L << 27,
+                         minBuckets: Int = 32,
+                         tokenizer: String = "ws"): DataFrame = {
+    val total = docs.select(sum(packTokens(tokenizer)).cast("long"))
+      .collect()(0) match { case r if r.isNullAt(0) => 0L; case r => r.getLong(0) }
+    packSequences(docs, budget,
+      packBucketCount(total, targetTokensPerBucket, minBuckets), tokenizer)
   }
 
   /** Deterministic stratified sampling — the mixture-reweighting stage a
@@ -1220,6 +1317,76 @@ object DocOps {
       .join(labels, Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("label"), col("doc_id")).as("keeper_doc_id"))
+  }
+
+  /** Contraction of the OLD near-dup graph under its label table — the
+    * trunk of [[keepersFromEdgesIncremental]]: every new edge's endpoints
+    * are mapped to their existing component label (keeper), endpoints
+    * unknown to `labels0` (brand-new docs) map to themselves, and edges
+    * that collapse within one old component drop out. The result is an
+    * edge set over old component ROOTS and new doc ids only — size ≤ the
+    * new-edge batch, never proportional to the old graph (spec-asserted).
+    *
+    * This contraction is EXACT, not approximate: `labels0` assigns every
+    * old doc the MIN doc_id of its old component, so (a) connectivity of
+    * the union graph is preserved — two docs are connected in
+    * old ∪ new iff their images are connected in the contracted graph —
+    * and (b) minima are preserved — the min over a merged component's
+    * contracted nodes IS the min over all its member doc ids, because
+    * each old root already is its component's minimum.
+    */
+  private[graft] def contractEdges(labels0: DataFrame,
+                                   newEdges: DataFrame): DataFrame = {
+    val la = labels0.select(col("doc_id").as("doc_a"), col("keeper_doc_id").as("la"))
+    val lb = labels0.select(col("doc_id").as("doc_b"), col("keeper_doc_id").as("lb"))
+    newEdges.select(col("doc_a"), col("doc_b"))
+      .join(la, Seq("doc_a"), "left")
+      .join(lb, Seq("doc_b"), "left")
+      .select(coalesce(col("la"), col("doc_a")).as("doc_a"),
+        coalesce(col("lb"), col("doc_b")).as("doc_b"))
+      .where(col("doc_a") =!= col("doc_b"))
+  }
+
+  /** INCREMENTAL keeper maintenance across appends (round 7) — the
+    * production shape of [[keepersFromEdges]]: a 100-TB pipeline appends
+    * batches and must maintain labels without recomputing the full CC
+    * fixpoint from scratch. Given `labels0` = the keeper table of a prior
+    * run and `newEdges` = the edges incident to the appended batch (plus
+    * any newly discovered ones), returns the keeper table for ALL of
+    * `docs` — byte-identical to a full recompute over oldEdges ∪ newEdges
+    * (spec-asserted, including old-component merges), at a cost
+    * proportional to the AFFECTED subgraph:
+    *
+    *  1. [[contractEdges]] maps new-edge endpoints through `labels0` —
+    *     the label table is an exact contraction of the old graph, so old
+    *     edges never need to be revisited;
+    *  2. the alternating-star fixpoint ([[componentLabels]]) runs over the
+    *     contracted graph only — ≤|newEdges| edges, and a single merge of
+    *     two million-doc components is ONE contracted edge;
+    *  3. the relabel table (old root → new root, new doc → root) joins
+    *     back over `labels0` on the label column — a join against a
+    *     relabel side bounded by the affected components (broadcast-sized
+    *     in the steady state; unaffected docs pass through unchanged, new
+    *     isolated docs label themselves).
+    */
+  def keepersFromEdgesIncremental(docs: DataFrame, labels0: DataFrame,
+                                  newEdges: DataFrame,
+                                  maxIters: Int = 25): DataFrame = {
+    // eager checkpoint for the same two reasons as keepersFromEdges: the
+    // contracted set is referenced twice (both adjacency directions) and
+    // feeds a fixpoint loop
+    val ce = contractEdges(labels0, newEdges)
+      .localCheckpoint(true)
+    val adj = ce.union(
+      ce.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+    val (relabel, _) = componentLabels(adj, maxIters)
+    docs.select(col("doc_id"))
+      .join(labels0.select(col("doc_id"), col("keeper_doc_id")), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("keeper_doc_id"), col("doc_id")).as("l0"))
+      .join(relabel.select(col("doc_id").as("l0"), col("label").as("l1")),
+        Seq("l0"), "left")
+      .select(col("doc_id"), coalesce(col("l1"), col("l0")).as("keeper_doc_id"))
   }
 
   /** Connected-component labels over an undirected adjacency table (both

@@ -917,6 +917,110 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(approx.nonEmpty)
   }
 
+  test("incremental CC labels equal a full recompute; fixpoint sees only the contracted graph") {
+    val s = spark
+    import s.implicits._
+    // old graph: TWO adversarial path components (ids decorrelated from
+    // path order by bit reversal) + isolated old docs
+    val n = 5000
+    def bitrev14(i: Int): Long = {
+      var v = 0L
+      for (b <- 0 until 14) if ((i & (1 << b)) != 0) v |= 1L << (13 - b)
+      v
+    }
+    val idsA = (0 until n).map(bitrev14)
+    val idsB = (0 until n).map(i => 100000L + bitrev14(i))
+    def path(ids: Seq[Long]) = ids.zip(ids.tail)
+    val oldEdges = (path(idsA) ++ path(idsB)).toDF("doc_a", "doc_b")
+      .localCheckpoint(true)
+    val oldDocs = (idsA ++ idsB ++ Seq(900001L, 900002L)).toDF("doc_id")
+    val labels0 = DocOps.keepersFromEdges(oldDocs, oldEdges).localCheckpoint(true)
+
+    // append: a 3-doc chain hung off component B, ONE edge merging A and
+    // B, and an isolated new doc
+    val newIds = Seq(950000L, 950001L, 950002L, 960000L)
+    val newEdges = Seq(
+      (idsB(4321), 950000L), (950000L, 950001L), (950001L, 950002L),
+      (idsA(1234), idsB(777))).toDF("doc_a", "doc_b").localCheckpoint(true)
+    val allDocs = oldDocs.union(newIds.toDF("doc_id")).localCheckpoint(true)
+
+    val inc = DocOps.keepersFromEdgesIncremental(allDocs, labels0, newEdges)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+    val full = DocOps.keepersFromEdges(allDocs, oldEdges.union(newEdges))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+    assert(inc === full)
+    // the merged A∪B component (now including the appended chain) labels
+    // to the global min across BOTH old components; isolated docs stay self
+    val minAB = (idsA ++ idsB).min
+    val incMap = inc.toMap
+    assert(incMap(idsA(4000)) === minAB && incMap(idsB(4000)) === minAB)
+    assert(incMap(950002L) === minAB)
+    assert(incMap(900001L) === 900001L && incMap(960000L) === 960000L)
+
+    // cost ∝ affected subgraph: the contraction maps 10k old docs' worth
+    // of edges down to ≤ |newEdges| rows over component ROOTS + new ids —
+    // the A–B merge of two 5k-doc components is ONE contracted edge
+    val ce = DocOps.contractEdges(labels0, newEdges)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(ce.length <= 4)
+    val roots = Set(idsA.min, idsB.min)
+    val contractedNodes = ce.flatMap(p => Seq(p._1, p._2)).toSet
+    assert(contractedNodes.subsetOf(roots ++ newIds.toSet),
+      s"contracted endpoints leak non-root old ids: $contractedNodes")
+    assert(ce.count(p => roots.contains(p._1) && roots.contains(p._2)) === 1)
+  }
+
+  test("char-span excision preserves every byte outside excised spans") {
+    val s = spark
+    import s.implicits._
+    val ev = Seq((100L, "aaa bbb ccc")).toDF("doc_id", "text") // one 3-gram
+    val corpus = Seq(
+      // contaminated: match at word pos 1 covers words 1..3; survivors
+      // keep their own preceding separators ("xx", "  yy", " zz")
+      (1L, "xx\t aaa  bbb\nccc  yy zz"),
+      // untouched: weird whitespace must come back byte-identical
+      (2L, "  clean doc \t with odd   spacing\n"),
+      // fully excised, no trailing whitespace -> empty string
+      (3L, "aaa bbb ccc"),
+      // code-point fidelity: surrogate-pair emoji + NBSP (not Java \s, so
+      // part of a word) survive around an excised leading window
+      (4L, "aaa bbb ccc 🦊  done end\n")
+    ).toDF("doc_id", "text")
+    val out = DocOps.exciseContaminatedSpans(corpus, ev, k = 3)
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    assert(out(1L) === (("xx  yy zz", 3L)))
+    assert(out(2L) === (("  clean doc \t with odd   spacing\n", 0L)))
+    assert(out(3L) === (("", 3L)))
+    assert(out(4L) === ((" 🦊  done end\n", 3L)))
+    // same removal decision as the word-level rebuild, different fidelity
+    val word = DocOps.exciseContaminated(corpus, ev, k = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(out.view.mapValues(_._2).toMap === word)
+  }
+
+  test("pack bucket sizing: derived from token volume, assignment stable at any count") {
+    assert(DocOps.packBucketCount(0L) === 32)
+    assert(DocOps.packBucketCount(1L << 27) === 32)
+    assert(DocOps.packBucketCount((1L << 27) * 100L + 1L) === 101)
+    assert(DocOps.packBucketCount(1000L, 10L, 4) === 100)
+    assert(DocOps.packBucketCount(1001L, 10L, 4) === 101)
+    // sized == fixed at the independently derived count (driver replay)
+    val total = DocOps.tokenStats(docs).agg(
+      org.apache.spark.sql.functions.sum("ws_tokens")).collect()(0).getLong(0)
+    val derived = DocOps.packBucketCount(total, 1024L, 8)
+    assert(derived > 8, s"sf0.001 corpus should exceed the floor (total=$total)")
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .sorted
+    assert(rows(DocOps.packSequencesSized(docs,
+        targetTokensPerBucket = 1024L, minBuckets = 8)) ===
+      rows(DocOps.packSequences(docs, nBuckets = derived)))
+    // assignment at a given count is deterministic under repartitioning
+    // (two DIFFERENT counts legitimately differ — streams re-split)
+    assert(rows(DocOps.packSequences(docs.repartition(7), nBuckets = derived)) ===
+      rows(DocOps.packSequences(docs, nBuckets = derived)))
+  }
+
   test("winnow fingerprints are stable under repartitioning") {
     val a = DocOps.winnowFingerprints(docs).collect()
       .map(r => (r.getLong(0), r.getString(1))).toMap
