@@ -114,12 +114,16 @@ object SnapshotStore {
     * rename-onto-existing fails atomically on HDFS and this environment's
     * checksum local FS, so two committers racing the same id cannot
     * clobber each other — the loser gets a [[ConcurrentCommitException]]
-    * and should retry through [[commitRebase]]. CAVEAT: on stock Hadoop
+    * and should retry through [[commitRebase]]. On stock Hadoop
     * RawLocalFileSystem, POSIX rename(2) silently REPLACES an existing
-    * destination, so last-writer-wins is possible there — multi-writer
-    * arbitration on plain local disks is exactly the part a real Iceberg
-    * catalog provides; single-writer remains the declared scope
-    * (COVERAGE.md divergence #2).
+    * destination — so there (round 7) the commit point is a hard LINK
+    * instead: link(2) fails atomically with EEXIST on an existing
+    * destination, giving the same create-exclusive CAS without lock files
+    * (a crashed lock would wedge the table; a crashed link leaves only an
+    * ignorable uniquely-named `.tmp`). Arbitration therefore holds on
+    * HDFS, checksum local FS, AND raw local FS; what remains declared
+    * away is object stores without an atomic rename-or-link (S3), where a
+    * real Iceberg catalog provides the CAS (COVERAGE.md divergence #2).
     */
   def commit(fs: FileSystem, results: Path, files: Seq[String]): Long =
     commitAt(fs, results, files,
@@ -138,7 +142,7 @@ object SnapshotStore {
     val out = fs.create(tmp, true)
     try out.write(body.getBytes(UTF_8)) finally out.close()
     val dst = new Path(dir, f"snap-$id%09d.txt")
-    if (!fs.rename(tmp, dst)) {
+    if (!commitPoint(fs, tmp, dst)) {
       fs.delete(tmp, false)
       if (fs.exists(dst))
         throw new ConcurrentCommitException(
@@ -149,6 +153,30 @@ object SnapshotStore {
     }
     id
   }
+
+  /** The atomic claim of `dst`: true iff THIS writer published it. On
+    * filesystems whose rename fails on an existing destination (HDFS,
+    * Hadoop's checksum LocalFileSystem) the rename IS the
+    * create-exclusive CAS. On RawLocalFileSystem rename(2) silently
+    * replaces, so the CAS is a POSIX hard link instead (round 7):
+    * link(2) atomically fails with EEXIST when the destination exists —
+    * the loser's staged `.tmp` is cleaned up by the caller; the winner's
+    * is best-effort-deleted here (a leftover is uniquely named and
+    * ignored by [[snapshots]], never adopted).
+    */
+  private def commitPoint(fs: FileSystem, tmp: Path, dst: Path): Boolean =
+    fs match {
+      case raw: org.apache.hadoop.fs.RawLocalFileSystem =>
+        try {
+          java.nio.file.Files.createLink(
+            raw.pathToFile(dst).toPath, raw.pathToFile(tmp).toPath)
+          fs.delete(tmp, false)
+          true
+        } catch {
+          case _: java.nio.file.FileAlreadyExistsException => false
+        }
+      case _ => fs.rename(tmp, dst)
+    }
 
   /** Optimistic commit with bounded rebase-and-retry — the loop Iceberg's
     * commit protocol automates, finishing what [[commitAt]]'s detection

@@ -313,4 +313,48 @@ class SnapshotSpec extends AnyFunSuite with BeforeAndAfterAll {
       Extract.bucketLineage(Extract.readResults(spark, out))
         .orderBy("bucket").collect().toSeq)
   }
+
+  test("commit arbitration holds on RawLocalFileSystem (hard-link CAS)") {
+    // POSIX rename(2) silently replaces an existing destination, so on the
+    // RAW local FS (no checksum layer to refuse the clobber) the manifest
+    // rename is NOT a CAS — round 7 commits there via link(2), which fails
+    // atomically with EEXIST. Two committers racing the same id must
+    // arbitrate exactly as on HDFS: one winner, one
+    // ConcurrentCommitException, winner's body intact.
+    val raw = org.apache.hadoop.fs.FileSystem
+      .getLocal(spark.sparkContext.hadoopConfiguration).getRaw
+    assert(raw.isInstanceOf[org.apache.hadoop.fs.RawLocalFileSystem])
+    val base = java.nio.file.Files.createTempDirectory("graft-snap-rawfs")
+    val results = new Path(s"$base/results")
+    raw.mkdirs(results)
+    def touch(name: String): String = {
+      val p = new Path(results, name)
+      raw.create(p, false).close()
+      p.toString
+    }
+    val f0 = touch("part-a.parquet")
+    assert(SnapshotStore.commit(raw, results, Seq(f0)) === 0L)
+
+    // race snapshot id 1: writer A lands first, writer B (same id, its own
+    // staged body) must lose — not silently replace A's published manifest
+    val fA = touch("part-b.parquet")
+    val fB = touch("part-c.parquet")
+    assert(SnapshotStore.commitAt(raw, results, Seq(f0, fA), 1L) === 1L)
+    assertThrows[SnapshotStore.ConcurrentCommitException](
+      SnapshotStore.commitAt(raw, results, Seq(f0, fB), 1L))
+    assert(SnapshotStore.liveFiles(raw, results).get.toSet ===
+      Set(f0, fA).map(SnapshotStore.qualify(raw, _)),
+      "loser clobbered the winner's manifest")
+
+    // the loser's recovery path: commitRebase re-reads the winner's live
+    // set and lands its delta at the next id
+    assert(SnapshotStore.commitRebase(raw, results,
+      adds = Seq(fB), removes = Seq.empty) === 2L)
+    assert(SnapshotStore.liveFiles(raw, results).get.toSet ===
+      Set(f0, fA, fB).map(SnapshotStore.qualify(raw, _)))
+    // no stray .tmp bodies left behind by either attempt
+    val leftovers = raw.listStatus(SnapshotStore.manifestDir(results))
+      .map(_.getPath.getName).filter(_.endsWith(".tmp"))
+    assert(leftovers.isEmpty, leftovers.mkString(","))
+  }
 }
