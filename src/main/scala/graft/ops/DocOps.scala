@@ -258,16 +258,24 @@ object DocOps {
   }
 
   /** Shared trunk of [[simhashPairs]] and [[simhashEdges]] (round 7 —
-    * the same digest-collapse hardening [[nearDupCore]] got in round 2):
-    * identical texts collapse to ONE representative (min doc_id per md5
-    * digest) BEFORE banding. The fingerprint is a pure function of the
-    * text, so a degenerate group of k byte-identical docs would otherwise
-    * put k copies into EVERY one of its maxDist+1 chunk buckets —
-    * ~(maxDist+1)·k² candidate rows through the self-join shuffle before
-    * `.distinct()`; after collapsing it costs one representative per
-    * group plus a digest-keyed expansion join. Returns
-    * (members(g, doc_id), reps(g, doc_id, n_members),
-    *  repPairs(doc_a, doc_b, hamming)).
+    * the same duplicate-group hardening [[nearDupCore]] got in round 2,
+    * but keyed one level deeper): docs collapse to ONE representative per
+    * FINGERPRINT VALUE (min doc_id per simhash) before banding. The
+    * fingerprint is a pure function of the text, so a degenerate group of
+    * k byte-identical docs would otherwise put k copies into EVERY one of
+    * its maxDist+1 chunk buckets — ~(maxDist+1)·k² candidate rows through
+    * the self-join shuffle before `.distinct()`; after collapsing it
+    * costs one representative per group plus a fingerprint-keyed
+    * expansion join. Collapsing on the fingerprint (not a text digest)
+    * is strictly stronger — it also merges non-identical texts that
+    * fingerprint alike — and strictly cheaper: no second text hash, no
+    * corpus rescan to select representative DOCS (the fingerprint table
+    * is already computed for every doc, and only (doc_id, long) rows ever
+    * shuffle). Returns
+    * (members(simhash, doc_id), reps(simhash, doc_id, n_members),
+    *  repPairs(doc_a, doc_b, sh_a, sh_b, hamming)) — rep pairs keep both
+    * fingerprints so expansion to members is a direct join, no
+    * rep→group-key hop.
     *
     * Pigeonhole band trick: the 60-bit fingerprint splits into maxDist+1
     * chunks — any pair within Hamming distance maxDist agrees exactly on
@@ -278,33 +286,30 @@ object DocOps {
       : (DataFrame, DataFrame, DataFrame) = {
     val chunks = maxDist + 1
     val width = SimhashBits / chunks
-    // same persist rationale as nearDupCore: the membership table feeds
-    // reps + both expansion sides; it is doc-count-proportional, never
-    // corpus-bytes
+    // same persist rationale as nearDupCore: the fingerprint table feeds
+    // reps + both expansion sides; it is doc-count-proportional
+    // (doc_id + one long), never corpus-bytes
     val members = CacheLedger.track(
-      docs.select(md5(col("text")).as("g"), col("doc_id"))
+      simhash(docs)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val reps = CacheLedger.track(
-      members.groupBy(col("g"))
+      members.groupBy(col("simhash"))
         .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_members"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-    val repDocs = docs.join(reps.select(col("doc_id")), Seq("doc_id"), "left_semi")
-    val fp = simhash(repDocs)
-    // persisted for the same reason as lshCandidates: the a/b self-join
-    // branches would each recompute the full simhash aggregation
-    val banded = CacheLedger.track(fp.select(col("doc_id"), col("simhash"),
+    // banding is a cheap projection over the persisted (distinct-
+    // fingerprint) rep table — no third persist needed
+    val banded = reps.select(col("doc_id"), col("simhash"),
       posexplode(array((0 until chunks).map { j =>
         shiftright(col("simhash"), j * width)
           .bitwiseAND(lit((1L << width) - 1))
       }: _*)).as(Seq("chunk_idx", "chunk_val")))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val a = banded.select(col("chunk_idx"), col("chunk_val"),
       col("doc_id").as("doc_a"), col("simhash").as("sh_a"))
     val b = banded.select(col("chunk_idx"), col("chunk_val"),
       col("doc_id").as("doc_b"), col("simhash").as("sh_b"))
     val repPairs = a.join(b, Seq("chunk_idx", "chunk_val"))
       .where(col("doc_a") < col("doc_b"))
-      .select(col("doc_a"), col("doc_b"),
+      .select(col("doc_a"), col("doc_b"), col("sh_a"), col("sh_b"),
         bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).cast("long").as("hamming"))
       .distinct()
       .where(col("hamming") <= maxDist)
@@ -315,8 +320,8 @@ object DocOps {
     * full pair REPORT — quadratic on duplicate groups by contract — but as
     * of round 7 it is GENERATED from O(k) shuffled data: representatives
     * band and self-join ([[simhashCore]]), verified rep pairs expand to
-    * members through digest-keyed joins, and within-group pairs are
-    * Hamming 0 by definition (identical text ⇒ identical fingerprint), so
+    * members through fingerprint-keyed joins, and within-group pairs are
+    * Hamming 0 by definition (groups ARE fingerprint-equality classes), so
     * every group of ≥2 emits its member pairs without touching the
     * candidate shuffle. Byte-identical to the direct formulation
     * ([[simhashPairsDirect]], spec-asserted); use [[simhashEdges]] as the
@@ -325,23 +330,23 @@ object DocOps {
   def simhashPairs(docs: DataFrame, maxDist: Int = 3): DataFrame = {
     val (members, reps, repPairs) = simhashCore(docs, maxDist)
 
-    // cross-group: members inherit their representative's fingerprint, so
-    // every (member of A, member of B) pair carries the rep pair's hamming
-    val repToG = reps.select(col("g"), col("doc_id").as("rep"))
-    val cross = repPairs
-      .join(repToG.select(col("g").as("ga"), col("rep").as("doc_a")), Seq("doc_a"))
-      .join(repToG.select(col("g").as("gb"), col("rep").as("doc_b")), Seq("doc_b"))
-      .join(members.select(col("g").as("ga"), col("doc_id").as("a")), Seq("ga"))
-      .join(members.select(col("g").as("gb"), col("doc_id").as("b")), Seq("gb"))
+    // cross-group: the group key IS the fingerprint and rep pairs carry
+    // both, so members join in directly — every (member of A, member of
+    // B) pair inherits the rep pair's hamming
+    val cross = repPairs.select(col("sh_a"), col("sh_b"), col("hamming"))
+      .join(members.select(col("simhash").as("sh_a"), col("doc_id").as("a")), Seq("sh_a"))
+      .join(members.select(col("simhash").as("sh_b"), col("doc_id").as("b")), Seq("sh_b"))
       .select(least(col("a"), col("b")).as("doc_a"),
         greatest(col("a"), col("b")).as("doc_b"), col("hamming"))
 
-    // within-group: identical texts, hamming 0 — every doc fingerprints
-    // (unlike the shingle path there is no ≥k-words gate)
-    val dupGroups = reps.where(col("n_members") >= 2).select(col("g"))
-    val m1 = members.join(dupGroups, Seq("g")).select(col("g"), col("doc_id").as("doc_a"))
-    val m2 = members.join(dupGroups, Seq("g")).select(col("g"), col("doc_id").as("doc_b"))
-    val within = m1.join(m2, Seq("g"))
+    // within-group: identical fingerprints, hamming 0 — every doc
+    // fingerprints (unlike the shingle path there is no ≥k-words gate)
+    val dupGroups = reps.where(col("n_members") >= 2).select(col("simhash"))
+    val m1 = members.join(dupGroups, Seq("simhash"))
+      .select(col("simhash"), col("doc_id").as("doc_a"))
+    val m2 = members.join(dupGroups, Seq("simhash"))
+      .select(col("simhash"), col("doc_id").as("doc_b"))
+    val within = m1.join(m2, Seq("simhash"))
       .where(col("doc_a") < col("doc_b"))
       .select(col("doc_a"), col("doc_b"), lit(0L).as("hamming"))
 
@@ -387,8 +392,8 @@ object DocOps {
   def simhashEdges(docs: DataFrame, maxDist: Int = 3): DataFrame = {
     val (members, reps, repPairs) = simhashCore(docs, maxDist)
     val starGroups = reps.where(col("n_members") >= 2)
-      .select(col("g"), col("doc_id").as("rep"))
-    val star = members.join(starGroups, Seq("g"))
+      .select(col("simhash"), col("doc_id").as("rep"))
+    val star = members.join(starGroups, Seq("simhash"))
       .where(col("doc_id") =!= col("rep"))
       .select(col("rep").as("doc_a"), col("doc_id").as("doc_b"))
     repPairs.select(col("doc_a"), col("doc_b")).union(star)

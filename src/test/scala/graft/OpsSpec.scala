@@ -778,8 +778,9 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(edges.length === (k - 1) + (if (nearPaired) 1 else 0))
     assert(edges.count(e => e._1 == 0L || e._2 == 0L) === edges.length)
     // inner joins (candidate self-join, star/member expansion) never
-    // carry the text column; the one semi-join selecting rep DOCS
-    // legitimately keeps text (it feeds the fingerprint aggregation)
+    // carry the text column — the fingerprint-level collapse shuffles
+    // only (doc_id, long) rows; text is consumed by the per-row word
+    // explode before any join
     val eJoins = DocOps.simhashEdges(d).queryExecution.optimizedPlan
       .collect {
         case j: org.apache.spark.sql.catalyst.plans.logical.Join
