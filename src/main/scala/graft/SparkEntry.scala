@@ -237,21 +237,23 @@ object SparkEntry {
     "doc_dedup_keepers" -> ((s, dir) =>
       DocOps.dedupKeepers(docs(s, dir), tau = 0.5).orderBy("doc_id")),
 
-    // INCREMENTAL keeper maintenance across appends (round 7): labels
-    // from a prior run over batch 1 (~3/4 of the corpus by salted hash)
-    // are updated with only the edges the full-corpus feed adds — the
-    // star fixpoint runs over the CONTRACTED graph (old component roots +
-    // new docs), never revisiting old edges. Must equal the full
-    // recompute, so the oracle is doc_dedup_keepers' recursive closure
-    // verbatim. (exceptAll stands in for the production incident-edge
-    // feed: any edge set containing the full feed's additions works.)
+    // INCREMENTAL dedup across appends, END TO END (round 7): batch 1
+    // (~3/4 of the corpus by salted hash) is a prior run — its keeper
+    // labels and rep-level band index persist; batch 2 appends. The
+    // append signatures/bands ONLY its own reps, probes the stored index
+    // for candidates, verifies candidates exactly, and the star fixpoint
+    // runs over the CONTRACTED graph (old component roots + new docs) —
+    // old text is never re-signatured, old edges never revisited. Must
+    // equal the full recompute, so the oracle is doc_dedup_keepers'
+    // recursive closure verbatim.
     "doc_dedup_keepers_incr" -> ((s, dir) => {
       val d = docs(s, dir)
-      val b1 = d.where(pmod(DocOps.md5Hash60(
-        concat(lit("batch:"), col("doc_id").cast("string"))), lit(4L)) =!= 0L)
-      val e1 = DocOps.nearDupEdges(b1, tau = 0.5)
-      val labels1 = DocOps.keepersFromEdges(b1, e1)
-      val eNew = DocOps.nearDupEdges(d, tau = 0.5).exceptAll(e1)
+      val isNew = pmod(DocOps.md5Hash60(
+        concat(lit("batch:"), col("doc_id").cast("string"))), lit(4L)) === 0L
+      val b1 = d.where(!isNew)
+      val labels1 = DocOps.keepersFromEdges(b1, DocOps.nearDupEdges(b1, tau = 0.5))
+      val (eNew, _) = DocOps.nearDupEdgesAppend(
+        d, DocOps.minhashBandIndex(b1), d.where(isNew), tau = 0.5)
       DocOps.keepersFromEdgesIncremental(d, labels1, eNew).orderBy("doc_id")
     }),
 

@@ -203,6 +203,106 @@ object DocOps {
     repPairs.select(col("doc_a"), col("doc_b")).union(star)
   }
 
+  /** Persistable LSH band index of a corpus at REPRESENTATIVE level —
+    * the state [[nearDupEdgesAppend]] carries between batches: exactly the
+    * (band_idx, band_hash, doc_id) rows [[nearDupCore]] builds internally
+    * (digest collapse → rep shingles → minhash → bands), 64 longs-rows per
+    * distinct text. Write it to parquet next to the keeper labels after
+    * each run; at 100 TB it is doc-count-proportional (~1.5 KB/rep),
+    * never corpus-bytes.
+    */
+  def minhashBandIndex(docs: DataFrame): DataFrame = {
+    val reps = docs.select(md5(col("text")).as("g"), col("doc_id"))
+      .groupBy(col("g")).agg(min(col("doc_id")).as("doc_id"))
+    val repDocs = docs.join(reps.select(col("doc_id")), Seq("doc_id"), "left_semi")
+    lshBands(minhashSignatures(shingles(repDocs)))
+  }
+
+  /** INCREMENTAL near-dup edge generation across appends (round 7) — the
+    * companion of [[keepersFromEdgesIncremental]], completing the
+    * incremental dedup story: a 100-TB pipeline appends batches and must
+    * not re-signature the whole corpus per batch. Given the old corpus's
+    * persisted [[minhashBandIndex]] and the appended batch, returns
+    * `(edges, newIndexRows)` where `edges` are the near-dup edges INCIDENT
+    * TO THE BATCH (rep pairs with ≥1 new endpoint + star edges of the
+    * batch's duplicate groups) and `newIndexRows` are the batch reps' band
+    * rows (persist `oldIndex ∪ newIndexRows` for the next append).
+    *
+    * Cost is batch-proportional, never corpus-proportional: the expensive
+    * full-corpus passes (shingle explode → 128-hash minhash aggregation →
+    * banding) run ONLY over the batch's representatives; the old corpus
+    * participates through its stored band rows (one equi-join) and
+    * through exact-Jaccard verification restricted to CANDIDATE docs (a
+    * semi-join-pruned shingle pass over candidates only, the same
+    * candidates-only contract as [[verifyJaccard]] in the batch path).
+    *
+    * Closure composition (spec-asserted): signatures are pure functions of
+    * text, so a batch doc identical or near-dup to ANY old doc collides
+    * with that doc's representative in band space exactly as it would have
+    * in a full-batch run — `oldEdges ∪ edges` has the same transitive
+    * closure as a from-scratch [[nearDupEdges]] over the full corpus, and
+    * [[keepersFromEdgesIncremental]](allDocs, labels, edges) equals the
+    * full recompute (the `doc_dedup_keepers_incr` oracle certifies the
+    * whole chain index→edges→contracted-fixpoint against the recursive-CTE
+    * closure). Old↔old pairs are deliberately absent (they are in the old
+    * edge set's closure already); new↔old-member pairs are covered through
+    * the old member's rep + its old star edge.
+    */
+  def nearDupEdgesAppend(allDocs: DataFrame, oldIndex: DataFrame,
+                         newDocs: DataFrame, tau: Double = 0.5)
+      : (DataFrame, DataFrame) = {
+    // batch-local digest collapse, same as nearDupCore
+    val members = CacheLedger.track(
+      newDocs.select(md5(col("text")).as("g"), col("doc_id"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val reps = CacheLedger.track(
+      members.groupBy(col("g"))
+        .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_members"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val repDocs = newDocs.join(reps.select(col("doc_id")), Seq("doc_id"), "left_semi")
+    val shNew = CacheLedger.track(shingles(repDocs)
+      .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY))
+    // the ONLY signature/band computation — batch reps, nobody else
+    val newBands = CacheLedger.track(
+      lshBands(minhashSignatures(shNew))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+
+    // batch reps probe the union index: (new,new) and (new,old) collisions
+    val probe = newBands.select(col("band_idx"), col("band_hash"),
+      col("doc_id").as("doc_a"))
+    val index = oldIndex.select(col("band_idx"), col("band_hash"),
+        col("doc_id").as("doc_b"))
+      .union(newBands.select(col("band_idx"), col("band_hash"),
+        col("doc_id").as("doc_b")))
+    val candidates = probe.join(index, Seq("band_idx", "band_hash"))
+      .where(col("doc_a") =!= col("doc_b"))
+      .select(least(col("doc_a"), col("doc_b")).as("doc_a"),
+        greatest(col("doc_a"), col("doc_b")).as("doc_b"))
+      .distinct()
+
+    // exact verify over CANDIDATE docs only: semi-join-prune the corpus,
+    // then shingle just those docs (candidate-proportional, the one place
+    // old text is touched)
+    val candIds = candidates.select(col("doc_a").as("doc_id"))
+      .union(candidates.select(col("doc_b").as("doc_id"))).distinct()
+    val shVerify = CacheLedger.track(
+      shingles(allDocs.join(candIds, Seq("doc_id"), "left_semi"))
+        .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY))
+    val verified = verifyJaccard(candidates, shVerify, tau)
+
+    // star edges for the batch's duplicate groups (shingling gate, as in
+    // nearDupEdges)
+    val shingledReps = shNew.select(col("doc_id")).distinct()
+    val starGroups = reps.where(col("n_members") >= 2)
+      .join(shingledReps, Seq("doc_id"), "left_semi")
+      .select(col("g"), col("doc_id").as("rep"))
+    val star = members.join(starGroups, Seq("g"))
+      .where(col("doc_id") =!= col("rep"))
+      .select(col("rep").as("doc_a"), col("doc_id").as("doc_b"))
+
+    (verified.select(col("doc_a"), col("doc_b")).union(star), newBands)
+  }
+
   /** Brute-force n-gram Jaccard over ALL pairs via shingle inverted index —
     * the small-scale baseline the LSH path approximates (and the shape of
     * the DuckDB oracle). Quadratic in colliding docs; never use at scale.
@@ -330,27 +430,23 @@ object DocOps {
   def simhashPairs(docs: DataFrame, maxDist: Int = 3): DataFrame = {
     val (members, reps, repPairs) = simhashCore(docs, maxDist)
 
-    // cross-group: the group key IS the fingerprint and rep pairs carry
-    // both, so members join in directly — every (member of A, member of
-    // B) pair inherits the rep pair's hamming
-    val cross = repPairs.select(col("sh_a"), col("sh_b"), col("hamming"))
+    // ONE expansion pass for both pair classes: the fingerprint-pair
+    // relation is the verified cross pairs PLUS a hamming-0 self-pair per
+    // duplicate fingerprint (within-group — every doc fingerprints, so
+    // unlike the shingle path there is no ≥k-words gate). Members join in
+    // on each side; cross rows produce each unordered doc pair exactly
+    // once (docs have one fingerprint each), self rows produce both
+    // orderings so the a<b guard dedups them — no distinct needed.
+    val fpPairs = repPairs.select(col("sh_a"), col("sh_b"), col("hamming"))
+      .union(reps.where(col("n_members") >= 2)
+        .select(col("simhash").as("sh_a"), col("simhash").as("sh_b"),
+          lit(0L).as("hamming")))
+    fpPairs
       .join(members.select(col("simhash").as("sh_a"), col("doc_id").as("a")), Seq("sh_a"))
       .join(members.select(col("simhash").as("sh_b"), col("doc_id").as("b")), Seq("sh_b"))
+      .where(col("sh_a") =!= col("sh_b") || col("a") < col("b"))
       .select(least(col("a"), col("b")).as("doc_a"),
         greatest(col("a"), col("b")).as("doc_b"), col("hamming"))
-
-    // within-group: identical fingerprints, hamming 0 — every doc
-    // fingerprints (unlike the shingle path there is no ≥k-words gate)
-    val dupGroups = reps.where(col("n_members") >= 2).select(col("simhash"))
-    val m1 = members.join(dupGroups, Seq("simhash"))
-      .select(col("simhash"), col("doc_id").as("doc_a"))
-    val m2 = members.join(dupGroups, Seq("simhash"))
-      .select(col("simhash"), col("doc_id").as("doc_b"))
-    val within = m1.join(m2, Seq("simhash"))
-      .where(col("doc_a") < col("doc_b"))
-      .select(col("doc_a"), col("doc_b"), lit(0L).as("hamming"))
-
-    cross.union(within)
   }
 
   /** The DIRECT (no digest collapse) formulation — kept as the reference

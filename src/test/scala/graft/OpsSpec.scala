@@ -971,6 +971,70 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(ce.count(p => roots.contains(p._1) && roots.contains(p._2)) === 1)
   }
 
+  test("incremental edge feed: append composes with old edges; index is parquet state; cost ∝ batch") {
+    val s = spark
+    import s.implicits._
+    def words(from: Int, to: Int): String =
+      (from to to).map(i => s"tok$i").mkString(" ")
+    val old = Seq(
+      (1L, words(1, 20)),    // A
+      (2L, words(5, 24)),    // B ~ A (old-old edge)
+      (20L, words(80, 99)), (21L, words(80, 99)), // old dup group, rep 20
+      (10L, words(50, 69))   // isolated old
+    ).toDF("doc_id", "text")
+    val fresh = Seq(
+      (100L, words(9, 28)),  // C ~ B only — merges into A's component
+      (101L, words(80, 99)), // identical to the OLD dup group's text
+      (110L, words(200, 219)), (111L, words(200, 219)),
+      (112L, words(200, 219)), // in-batch dup group (star edges)
+      (120L, words(300, 319)) // isolated new
+    ).toDF("doc_id", "text")
+    val all = old.union(fresh)
+
+    // the index is PERSISTED STATE: round-trip through parquet, so the
+    // append structurally cannot re-signature old text
+    val idxDir = java.nio.file.Files.createTempDirectory("graft-bandidx").toString
+    DocOps.minhashBandIndex(old).write.mode("overwrite").parquet(idxDir)
+    val oldIdx = s.read.parquet(idxDir)
+
+    val oldE = DocOps.nearDupEdges(old, 0.5).localCheckpoint(true)
+    val (newE0, newIdx) = DocOps.nearDupEdgesAppend(all, oldIdx, fresh, 0.5)
+    val newE = newE0.localCheckpoint(true)
+
+    def lab(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // closure composition: old ∪ append ≡ full recompute
+    val full = lab(DocOps.keepersFromEdges(all, DocOps.nearDupEdges(all, 0.5)))
+    assert(lab(DocOps.keepersFromEdges(all, oldE.union(newE))) === full)
+    // the production chain: contracted fixpoint over the append edges
+    val labels1 = DocOps.keepersFromEdges(old, oldE).localCheckpoint(true)
+    assert(lab(DocOps.keepersFromEdgesIncremental(all, labels1, newE)) === full)
+    assert(full(100L) === 1L && full(101L) === 20L && full(21L) === 20L)
+    assert(full(111L) === 110L && full(112L) === 110L)
+    assert(full(120L) === 120L && full(10L) === 10L)
+
+    // append edges touch ≥1 batch doc; index delta = 64 band rows per
+    // distinct batch text (4 reps here), composable with the old state
+    val newIds = Set(100L, 101L, 110L, 111L, 112L, 120L)
+    val e = newE.collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(e.forall(p => newIds(p._1) || newIds(p._2)), e.mkString(","))
+    assert(newIdx.count() === 4L * DocOps.Bands)
+    assert(newIdx.columns.toSeq === oldIdx.columns.toSeq)
+
+    // degenerate append: 5k copies of an old doc cost O(k) edges — k-1
+    // in-batch stars + ONE rep pair to the old rep through the index
+    val k = 5000
+    val dOld = Seq((0L, words(400, 419)), (1L, words(500, 519)))
+      .toDF("doc_id", "text")
+    val dNew = (0 until k).map(i => (1000L + i, words(400, 419)))
+      .toDF("doc_id", "text")
+    val (dE, _) = DocOps.nearDupEdgesAppend(
+      dOld.union(dNew), DocOps.minhashBandIndex(dOld), dNew, 0.5)
+    val dEdges = dE.collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(dEdges.length === k)
+    assert(dEdges.count(p => p._1 == 0L || p._2 == 0L) === 1)
+  }
+
   test("char-span excision preserves every byte outside excised spans") {
     val s = spark
     import s.implicits._
