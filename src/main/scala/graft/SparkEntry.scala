@@ -272,6 +272,22 @@ object SparkEntry {
     "doc_simhash_keepers" -> ((s, dir) =>
       DocOps.simhashKeepers(docs(s, dir), maxDist = 3).orderBy("doc_id")),
 
+    // incremental SimHash dedup across appends (round 7): batch 1's
+    // labels + fingerprint band index persist; the append fingerprints
+    // only its own docs and verifies candidates from the index's stored
+    // fingerprints — the old corpus is never read. Oracle = the full
+    // recursive closure, as for doc_simhash_keepers.
+    "doc_simhash_keepers_incr" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val isNew = pmod(DocOps.md5Hash60(
+        concat(lit("sbatch:"), col("doc_id").cast("string"))), lit(4L)) === 0L
+      val b1 = d.where(!isNew)
+      val labels1 = DocOps.keepersFromEdges(b1, DocOps.simhashEdges(b1, maxDist = 3))
+      val (eNew, _) = DocOps.simhashEdgesAppend(
+        DocOps.simhashIndex(b1), d.where(isNew), maxDist = 3)
+      DocOps.keepersFromEdgesIncremental(d, labels1, eNew).orderBy("doc_id")
+    }),
+
     "doc_lang_id" -> ((s, dir) => DocOps.langId(docs(s, dir)).orderBy("doc_id")),
 
     "doc_quality" -> ((s, dir) => DocOps.qualityScore(docs(s, dir)).orderBy("doc_id")),
@@ -891,18 +907,25 @@ object SparkEntry {
     "doc_simhash_pairs" ->
       s"""WITH ${simhashFpCtes("documents")} SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming FROM banded a JOIN banded b ON a.chunk_idx = b.chunk_idx AND a.chunk_val = b.chunk_val WHERE a.doc_id < b.doc_id AND bit_count(xor(a.simhash, b.simhash)) <= 3 ORDER BY doc_a, doc_b""",
 
-    // the SimHash linear CC feed: the same fingerprint chain restricted to
-    // digest-group representatives (a member's fingerprint equals its
-    // rep's — the fingerprint is a pure function of the text), plus
-    // (min-doc rep → other member) star edges for every group of ≥2
+    // the SimHash linear CC feed: the same fingerprint chain collapsed to
+    // one representative per FINGERPRINT VALUE (matching the Spark-side
+    // construction — collapsing on md5(text) instead diverges when ≥3
+    // distinct texts share a fingerprint: C(g,2) rep pairs vs g−1 star
+    // edges; same closure, different edge set — caught at sf0.001), plus
+    // (min-doc rep → other member) star edges for every fp group of ≥2
     "doc_simhash_edges" ->
-      s"""WITH grp AS (SELECT md5(text) AS g, doc_id FROM documents), reps AS (SELECT g, min(doc_id) AS rep, count(*) AS n FROM grp GROUP BY g), ${simhashFpCtes("(SELECT * FROM documents WHERE doc_id IN (SELECT rep FROM reps))")}, rp AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b FROM banded a JOIN banded b ON a.chunk_idx = b.chunk_idx AND a.chunk_val = b.chunk_val WHERE a.doc_id < b.doc_id AND bit_count(xor(a.simhash, b.simhash)) <= 3), edges AS (SELECT doc_a, doc_b FROM rp UNION ALL SELECT r.rep AS doc_a, m.doc_id AS doc_b FROM reps r JOIN grp m ON m.g = r.g WHERE m.doc_id != r.rep AND r.n >= 2) SELECT doc_a, doc_b FROM edges ORDER BY doc_a, doc_b""",
+      s"""WITH ${simhashFpCtes("documents")}, reps AS (SELECT simhash AS g, min(doc_id) AS rep, count(*) AS n FROM fp GROUP BY simhash), rb AS (SELECT b.* FROM banded b JOIN reps r ON b.doc_id = r.rep), rp AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b FROM rb a JOIN rb b ON a.chunk_idx = b.chunk_idx AND a.chunk_val = b.chunk_val WHERE a.doc_id < b.doc_id AND bit_count(xor(a.simhash, b.simhash)) <= 3), edges AS (SELECT doc_a, doc_b FROM rp UNION ALL SELECT r.rep AS doc_a, m.doc_id AS doc_b FROM reps r JOIN fp m ON m.simhash = r.g WHERE m.doc_id != r.rep AND r.n >= 2) SELECT doc_a, doc_b FROM edges ORDER BY doc_a, doc_b""",
 
     // SimHash keepers: recursive-CTE transitive closure over the
     // INDEPENDENTLY recomputed quadratic pair relation (no collapse on the
     // oracle side — the closure is the ground truth the linear feed must
     // reproduce)
     "doc_simhash_keepers" ->
+      s"""WITH RECURSIVE ${simhashFpCtes("documents")}, sp AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b FROM banded a JOIN banded b ON a.chunk_idx = b.chunk_idx AND a.chunk_val = b.chunk_val WHERE a.doc_id < b.doc_id AND bit_count(xor(a.simhash, b.simhash)) <= 3), edges AS (SELECT doc_a AS u, doc_b AS v FROM sp UNION ALL SELECT doc_b AS u, doc_a AS v FROM sp), reach AS (SELECT doc_id AS u, doc_id AS r FROM documents UNION SELECT e.v AS u, reach.r FROM reach JOIN edges e ON e.u = reach.u) SELECT u AS doc_id, min(r) AS keeper_doc_id FROM reach GROUP BY u ORDER BY doc_id""",
+
+    // incremental maintenance must reproduce the full recompute exactly —
+    // the batch split exists only on the Spark side
+    "doc_simhash_keepers_incr" ->
       s"""WITH RECURSIVE ${simhashFpCtes("documents")}, sp AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b FROM banded a JOIN banded b ON a.chunk_idx = b.chunk_idx AND a.chunk_val = b.chunk_val WHERE a.doc_id < b.doc_id AND bit_count(xor(a.simhash, b.simhash)) <= 3), edges AS (SELECT doc_a AS u, doc_b AS v FROM sp UNION ALL SELECT doc_b AS u, doc_a AS v FROM sp), reach AS (SELECT doc_id AS u, doc_id AS r FROM documents UNION SELECT e.v AS u, reach.r FROM reach JOIN edges e ON e.u = reach.u) SELECT u AS doc_id, min(r) AS keeper_doc_id FROM reach GROUP BY u ORDER BY doc_id""",
 
     // HLL registers recomputed independently: same 60-bit md5 word hash,

@@ -384,8 +384,6 @@ object DocOps {
     */
   private def simhashCore(docs: DataFrame, maxDist: Int)
       : (DataFrame, DataFrame, DataFrame) = {
-    val chunks = maxDist + 1
-    val width = SimhashBits / chunks
     // same persist rationale as nearDupCore: the fingerprint table feeds
     // reps + both expansion sides; it is doc-count-proportional
     // (doc_id + one long), never corpus-bytes
@@ -398,11 +396,7 @@ object DocOps {
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     // banding is a cheap projection over the persisted (distinct-
     // fingerprint) rep table — no third persist needed
-    val banded = reps.select(col("doc_id"), col("simhash"),
-      posexplode(array((0 until chunks).map { j =>
-        shiftright(col("simhash"), j * width)
-          .bitwiseAND(lit((1L << width) - 1))
-      }: _*)).as(Seq("chunk_idx", "chunk_val")))
+    val banded = simhashBandRows(reps, maxDist)
     val a = banded.select(col("chunk_idx"), col("chunk_val"),
       col("doc_id").as("doc_a"), col("simhash").as("sh_a"))
     val b = banded.select(col("chunk_idx"), col("chunk_val"),
@@ -414,6 +408,86 @@ object DocOps {
       .distinct()
       .where(col("hamming") <= maxDist)
     (members, reps, repPairs)
+  }
+
+  /** Pigeonhole band rows (doc_id, simhash, chunk_idx, chunk_val) of a
+    * (doc_id, simhash) table — maxDist+1 chunks of SimhashBits/(maxDist+1)
+    * bits each.
+    */
+  private def simhashBandRows(fps: DataFrame, maxDist: Int): DataFrame = {
+    val chunks = maxDist + 1
+    val width = SimhashBits / chunks
+    fps.select(col("doc_id"), col("simhash"),
+      posexplode(array((0 until chunks).map { j =>
+        shiftright(col("simhash"), j * width)
+          .bitwiseAND(lit((1L << width) - 1))
+      }: _*)).as(Seq("chunk_idx", "chunk_val")))
+  }
+
+  /** Persistable SimHash band index of a corpus at REPRESENTATIVE
+    * (distinct-fingerprint) level — the state [[simhashEdgesAppend]]
+    * carries between batches: exactly the (doc_id, simhash, chunk_idx,
+    * chunk_val) rows [[simhashCore]] bands internally, maxDist+1 rows per
+    * distinct fingerprint. Doc-count-proportional; write next to the
+    * keeper labels after each run.
+    */
+  def simhashIndex(docs: DataFrame, maxDist: Int = 3): DataFrame =
+    simhashBandRows(
+      simhash(docs).groupBy(col("simhash")).agg(min(col("doc_id")).as("doc_id"))
+        .select(col("doc_id"), col("simhash")),
+      maxDist)
+
+  /** INCREMENTAL SimHash edge generation across appends (round 7) — the
+    * [[nearDupEdgesAppend]] sibling, and the cheaper of the two: the
+    * stored band rows carry the full fingerprint, so candidate
+    * verification is `bit_count(xor)` on columns already in the join —
+    * the OLD CORPUS IS NEVER READ, only its index. Fingerprints are
+    * computed for the appended batch alone; batch reps probe
+    * oldIndex ∪ newBands for (new,new)/(new,old) chunk collisions.
+    * Returns (edges incident to the batch, the batch's index rows —
+    * persist `oldIndex ∪ newIndexRows` for the next append).
+    *
+    * Closure composition (spec-asserted): fingerprints are pure functions
+    * of text, so `oldEdges ∪ edges` has the same transitive closure as a
+    * from-scratch [[simhashEdges]] over the full corpus, and
+    * [[keepersFromEdgesIncremental]] over it equals the full recompute
+    * (the `doc_simhash_keepers_incr` oracle replays the full recursive
+    * closure over the independently recomputed pair relation).
+    */
+  def simhashEdgesAppend(oldIndex: DataFrame, newDocs: DataFrame,
+                         maxDist: Int = 3): (DataFrame, DataFrame) = {
+    val members = CacheLedger.track(
+      simhash(newDocs)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val reps = CacheLedger.track(
+      members.groupBy(col("simhash"))
+        .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_members"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val newBands = CacheLedger.track(
+      simhashBandRows(reps.select(col("doc_id"), col("simhash")), maxDist)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+
+    val probe = newBands.select(col("chunk_idx"), col("chunk_val"),
+      col("doc_id").as("doc_a"), col("simhash").as("sh_a"))
+    val index = oldIndex.select(col("chunk_idx"), col("chunk_val"),
+        col("doc_id").as("doc_b"), col("simhash").as("sh_b"))
+      .union(newBands.select(col("chunk_idx"), col("chunk_val"),
+        col("doc_id").as("doc_b"), col("simhash").as("sh_b")))
+    val pairs = probe.join(index, Seq("chunk_idx", "chunk_val"))
+      .where(col("doc_a") =!= col("doc_b"))
+      .select(least(col("doc_a"), col("doc_b")).as("doc_a"),
+        greatest(col("doc_a"), col("doc_b")).as("doc_b"),
+        bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).cast("long").as("hamming"))
+      .distinct()
+      .where(col("hamming") <= maxDist)
+
+    val starGroups = reps.where(col("n_members") >= 2)
+      .select(col("simhash"), col("doc_id").as("rep"))
+    val star = members.join(starGroups, Seq("simhash"))
+      .where(col("doc_id") =!= col("rep"))
+      .select(col("rep").as("doc_a"), col("doc_id").as("doc_b"))
+
+    (pairs.select(col("doc_a"), col("doc_b")).union(star), newBands)
   }
 
   /** Near-dup pairs by SimHash Hamming distance ≤ maxDist. Output is the

@@ -1035,6 +1035,63 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(dEdges.count(p => p._1 == 0L || p._2 == 0L) === 1)
   }
 
+  test("incremental SimHash edges: append composes with old edges from the index alone") {
+    val s = spark
+    import s.implicits._
+    def words(from: Int, to: Int): String =
+      (from to to).map(i => s"tok$i").mkString(" ")
+    val old = Seq(
+      (1L, words(1, 20)), (2L, words(2, 21)), // likely hamming-close
+      (20L, words(80, 99)), (21L, words(80, 99)), // old dup group
+      (10L, words(400, 419))
+    ).toDF("doc_id", "text")
+    val fresh = Seq(
+      (100L, words(1, 20)),  // identical to old doc 1 (cross-batch, fp-equal)
+      (110L, words(200, 219)), (111L, words(200, 219)),
+      (112L, words(200, 219)), // in-batch dup group
+      (120L, words(300, 319))
+    ).toDF("doc_id", "text")
+    val all = old.union(fresh)
+
+    // the append takes ONLY the index + the batch — the old corpus is
+    // structurally unreadable from inside simhashEdgesAppend; round-trip
+    // the index through parquet as persisted state
+    val idxDir = java.nio.file.Files.createTempDirectory("graft-shidx").toString
+    DocOps.simhashIndex(old).write.mode("overwrite").parquet(idxDir)
+    val oldE = DocOps.simhashEdges(old).localCheckpoint(true)
+    val (newE0, newIdx) = DocOps.simhashEdgesAppend(s.read.parquet(idxDir), fresh)
+    val newE = newE0.localCheckpoint(true)
+
+    def lab(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val full = lab(DocOps.keepersFromEdges(all, DocOps.simhashEdges(all)))
+    assert(lab(DocOps.keepersFromEdges(all, oldE.union(newE))) === full)
+    val labels1 = DocOps.keepersFromEdges(old, oldE).localCheckpoint(true)
+    assert(lab(DocOps.keepersFromEdgesIncremental(all, labels1, newE)) === full)
+    // cross-batch identical text joins its old component regardless of
+    // what else pairs (identical fp ⇒ hamming 0)
+    assert(full(100L) === full(1L))
+    assert(full(111L) === 110L && full(112L) === 110L && full(21L) === 20L)
+
+    val newIds = Set(100L, 110L, 111L, 112L, 120L)
+    val e = newE.collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(e.forall(p => newIds(p._1) || newIds(p._2)), e.mkString(","))
+    // 4 chunk rows per distinct batch fingerprint (100/dup-group/120 = 3)
+    assert(newIdx.count() === 3L * 4L)
+
+    // degenerate append: 5k copies of an old doc = k-1 in-batch stars +
+    // ONE hamming-0 rep pair through the index
+    val k = 5000
+    val dOld = Seq((0L, words(400, 419)), (1L, words(500, 519)))
+      .toDF("doc_id", "text")
+    val dNew = (0 until k).map(i => (1000L + i, words(400, 419)))
+      .toDF("doc_id", "text")
+    val (dE, _) = DocOps.simhashEdgesAppend(DocOps.simhashIndex(dOld), dNew)
+    val dEdges = dE.collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(dEdges.length === k)
+    assert(dEdges.count(p => p._1 == 0L || p._2 == 0L) === 1)
+  }
+
   test("char-span excision preserves every byte outside excised spans") {
     val s = spark
     import s.implicits._
