@@ -410,6 +410,29 @@ object SparkEntry {
           Map("src0" -> 0.25, "src1" -> 0.5, "src2" -> 0.0))
         .select(col("doc_id"), col("source")).orderBy("doc_id")),
 
+    // overlapping word-window chunking (round 7): pure flatMap
+    // projection; small windows so the sf corpus exercises multi-chunk
+    // docs and the overlap arithmetic
+    "doc_chunk" -> ((s, dir) =>
+      DocOps.chunkDocs(docs(s, dir), maxWords = 32, overlap = 8)
+        .orderBy("doc_id", "chunk_idx")),
+
+    // per-source document cap (round 7): two-phase bucket-offset rank
+    // (≡ one row_number window per source, spec-asserted) keeps K docs
+    // per source in salted-hash order
+    "doc_source_caps" -> ((s, dir) =>
+      DocOps.capPerSource(docs(s, dir), k = 15).orderBy("doc_id")),
+
+    // temperature-style source upsampling (round 7): α=1/2 repeat
+    // factors (IEEE sqrt/div/floor — bit-exact cross-engine) and the
+    // materialized (doc_id, copy_idx) epoch list
+    "doc_repeat_factors" -> ((s, dir) =>
+      DocOps.sourceRepeatFactors(docs(s, dir), budget = 10).orderBy("source")),
+
+    "doc_resample" -> ((s, dir) =>
+      DocOps.resampleByTemperature(docs(s, dir), budget = 10)
+        .orderBy("doc_id", "copy_idx")),
+
     // PII scrubbing: counts + deterministic redaction chain (round 5)
     "doc_pii_scrub" -> ((s, dir) =>
       DocOps.piiScrub(docs(s, dir)).orderBy("doc_id")),
@@ -892,6 +915,26 @@ object SparkEntry {
     // default 1.0→2^60)
     "doc_sample_stratified" ->
       """SELECT doc_id, source FROM documents WHERE CAST(('0x' || substr(md5('sample:' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) < CASE source WHEN 'src0' THEN 288230376151711744 WHEN 'src1' THEN 576460752303423488 WHEN 'src2' THEN 0 ELSE 1152921504606846976 END ORDER BY doc_id""",
+
+    // chunking replay: same integer ceil-div chunk count, same 1-based
+    // inclusive word-slice bounds (DuckDB list slice w[a:b])
+    "doc_chunk" ->
+      """WITH d AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w, CASE WHEN length(trim(text)) = 0 THEN CAST(0 AS BIGINT) ELSE CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) END AS n FROM documents), c AS (SELECT doc_id, w, n, CASE WHEN n <= 32 THEN CAST(1 AS BIGINT) ELSE CAST(floor(CAST(n - 32 + 23 AS DOUBLE) / 24.0) AS BIGINT) + 1 END AS nc FROM d), e AS (SELECT doc_id, w, n, unnest(range(nc)) AS chunk_idx FROM c) SELECT doc_id, chunk_idx, array_to_string(w[CAST(chunk_idx * 24 + 1 AS INT):CAST(chunk_idx * 24 + 32 AS INT)], ' ') AS chunk_text, least(CAST(32 AS BIGINT), n - chunk_idx * 24) AS n_words FROM e ORDER BY doc_id, chunk_idx""",
+
+    // per-source cap replayed in its DIRECT form — one row_number window
+    // per source over (salted hash, doc_id); the Spark side's two-phase
+    // bucket-offset rank must equal it exactly (bucket = h >> 55 is
+    // monotone in h, so bucket order refines hash order)
+    "doc_source_caps" ->
+      """WITH h AS (SELECT doc_id, source, CAST(('0x' || substr(md5('cap:' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) AS cap_h FROM documents), r AS (SELECT doc_id, source, CAST(row_number() OVER (PARTITION BY source ORDER BY cap_h, doc_id) AS BIGINT) AS cap_rank FROM h) SELECT doc_id, source, cap_rank FROM r WHERE cap_rank <= 15 ORDER BY doc_id""",
+
+    // α=1/2 upsampling factors: IEEE sqrt and division are correctly
+    // rounded, floor is exact — the doubles never reach the output
+    "doc_repeat_factors" ->
+      """SELECT source, CAST(count(*) AS BIGINT) AS n_docs, greatest(CAST(1 AS BIGINT), CAST(floor(10.0 / sqrt(CAST(count(*) AS DOUBLE))) AS BIGINT)) AS repeat_factor FROM documents GROUP BY source ORDER BY source""",
+
+    "doc_resample" ->
+      """SELECT * FROM (WITH f AS (SELECT source, greatest(CAST(1 AS BIGINT), CAST(floor(10.0 / sqrt(CAST(count(*) AS DOUBLE))) AS BIGINT)) AS rf FROM documents GROUP BY source) SELECT d.doc_id, d.source, unnest(range(f.rf)) AS copy_idx FROM documents d JOIN f USING (source)) ORDER BY doc_id, copy_idx""",
 
     // per-source report: integer sums merged then ratios derived
     "doc_source_report" ->

@@ -1374,6 +1374,118 @@ object DocOps {
     docs.where(h < threshold)
   }
 
+  /** Overlapping word-window chunking — the "split long documents into
+    * model-sized pieces" stage of a pretraining pipeline: each doc yields
+    * ⌈(n−maxWords)/stride⌉+1 chunks of ≤ maxWords whitespace words, where
+    * stride = maxWords − overlap (consecutive chunks share `overlap`
+    * words so no context is lost at a boundary). Chunk 0 always exists
+    * (an empty/short doc is its own single chunk).
+    *
+    * 100-TB shape: a pure per-row flatMap projection — split, sequence,
+    * posexplode, slice, array_join are all codegen HOFs; no shuffle, no
+    * state, output rows ≈ input tokens / stride. All index arithmetic is
+    * integer (ceil-div via (a+b−1) floor-div b), so the DuckDB oracle
+    * replays it exactly.
+    */
+  def chunkDocs(docs: DataFrame, maxWords: Int = 64, overlap: Int = 16): DataFrame = {
+    require(maxWords > 0 && overlap >= 0 && overlap < maxWords,
+      s"need 0 <= overlap < maxWords: $maxWords/$overlap")
+    val stride = maxWords - overlap
+    val t = trim(col("text"))
+    val words = split(t, "\\s+")
+    val n = when(length(t) === 0, 0L).otherwise(size(words).cast("long"))
+    // ceil((n - maxWords)/stride) + 1 for n > maxWords, else 1; integer-only
+    val nChunks = when(n <= maxWords, 1L).otherwise(
+      floor((n - maxWords + (stride.toLong - 1L)) / lit(stride.toLong)).cast("long") + 1L)
+    docs
+      .select(col("doc_id"), words.as("w"), n.as("n"), nChunks.as("nc"))
+      .select(col("doc_id"), col("w"), col("n"),
+        explode(sequence(lit(0L), col("nc") - 1L)).as("chunk_idx"))
+      .select(
+        col("doc_id"),
+        col("chunk_idx"),
+        array_join(slice(col("w"), (col("chunk_idx") * stride + 1L).cast("int"),
+          lit(maxWords)), " ").as("chunk_text"),
+        least(lit(maxWords.toLong), col("n") - col("chunk_idx") * stride)
+          .as("n_words"))
+  }
+
+  /** Per-source document cap — "keep at most K docs per source, chosen by
+    * a deterministic pseudo-random order" (the crawl-rebalancing stage
+    * that stops one mega-source from dominating a mixture). Selection
+    * order is the salted 60-bit doc_id hash (ties broken by doc_id), so
+    * the kept set is repeatable across runs and independent of layout.
+    *
+    * 100-TB shape — the reason this is NOT one `row_number` window per
+    * source: with ~20 sources that window is 20 tasks sorting 5 TB each.
+    * Instead the hash order is range-bucketed by its own top bits
+    * (bucket = h >> (60 − log₂ nBuckets), a MONOTONE function of h, so
+    * bucket order refines hash order): (source, bucket) windows rank
+    * locally with nSources·nBuckets-way parallelism, a tiny
+    * per-(source,bucket) count table (nSources·nBuckets rows) prefix-sums
+    * into bucket offsets broadcast back, and a doc survives iff
+    * offset + local_rank ≤ K. Spec-asserted ≡ the direct single-window
+    * formulation; the oracle replays that direct form in SQL.
+    */
+  def capPerSource(docs: DataFrame, k: Int, nBuckets: Int = 32): DataFrame = {
+    require(k >= 0 && nBuckets >= 1 && (nBuckets & (nBuckets - 1)) == 0 &&
+      nBuckets <= (1 << 20), s"nBuckets must be a power of two: $nBuckets")
+    import org.apache.spark.sql.expressions.Window
+    val shift = 60 - Integer.numberOfTrailingZeros(nBuckets)
+    val h = md5Hash60(concat(lit("cap:"), col("doc_id").cast("string")))
+    val withH = docs.select(col("doc_id"), col("source"), h.as("cap_h"))
+      .withColumn("bkt", shiftright(col("cap_h"), shift))
+    val local = withH.withColumn("lr",
+      row_number().over(Window.partitionBy(col("source"), col("bkt"))
+        .orderBy(col("cap_h"), col("doc_id"))).cast("long"))
+    val counts = withH.groupBy(col("source"), col("bkt"))
+      .agg(count(lit(1)).as("c"))
+    val offsets = counts.withColumn("off",
+      coalesce(sum(col("c")).over(Window.partitionBy(col("source"))
+        .orderBy(col("bkt"))
+        .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("source"), col("bkt"), col("off"))
+    local.join(broadcast(offsets), Seq("source", "bkt"))
+      .where(col("off") + col("lr") <= k.toLong)
+      .select(col("doc_id"), col("source"),
+        (col("off") + col("lr")).as("cap_rank"))
+  }
+
+  /** Temperature-style source upsampling factors (α = 1/2): rare sources
+    * repeat more — factor = max(1, ⌊budget / √n_source⌋), the classic
+    * "flatten the source mixture toward uniform" reweighting. Exact
+    * cross-engine: IEEE sqrt and division are correctly rounded and floor
+    * is exact, so the doubles never reach the output (factors are longs).
+    *
+    * 100-TB shape: one low-cardinality partial-agg shuffle (the source
+    * count table is nSources rows).
+    */
+  def sourceRepeatFactors(docs: DataFrame, budget: Int = 10): DataFrame = {
+    require(budget >= 1, s"budget must be >= 1: $budget")
+    docs.groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+      .select(col("source"), col("n_docs"),
+        greatest(lit(1L),
+          floor(lit(budget.toDouble) / sqrt(col("n_docs").cast("double")))
+            .cast("long")).as("repeat_factor"))
+  }
+
+  /** Materialized temperature resampling: every doc of source s appears
+    * `repeat_factor(s)` times, tagged (doc_id, copy_idx) — the expanded
+    * epoch list a trainer consumes (dataset order is the trainer's own
+    * shuffle; this op fixes only multiplicity).
+    *
+    * 100-TB shape: the nSources-row factor table broadcast-joins onto the
+    * corpus; the explode is map-side (sequence + explode, codegen); no
+    * wide shuffle. Output ids only — the text stays in the base table and
+    * re-joins at read time, so upsampling never duplicates bytes at rest.
+    */
+  def resampleByTemperature(docs: DataFrame, budget: Int = 10): DataFrame =
+    docs.select(col("doc_id"), col("source"))
+      .join(broadcast(sourceRepeatFactors(docs, budget)
+        .select(col("source"), col("repeat_factor"))), Seq("source"))
+      .select(col("doc_id"), col("source"),
+        explode(sequence(lit(0L), col("repeat_factor") - 1L)).as("copy_idx"))
+
   /** Corpus-wide distinct-word sketch via the custom HLL aggregate
     * (graft.functions.HllSketch): one narrow pass, a 1KB partial per task,
     * merge = elementwise max — COUNT(DISTINCT) at corpus scale without

@@ -1152,4 +1152,87 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     // scalar signature: 4 ':'-joined 16-hex-char minima (harness-hashable)
     assert(a.values.forall(_.matches("[0-9a-f]{16}(:[0-9a-f]{16}){3}")))
   }
+
+  test("chunkDocs: coverage, overlap, and boundary arithmetic") {
+    val s = spark
+    import s.implicits._
+    def doc(n: Int): String = (1 to n).map(i => s"w$i").mkString(" ")
+    // n=80, maxWords=32, overlap=8 → stride 24 → chunks at 0/24/48: 3
+    val d = Seq((1L, doc(80)), (2L, doc(32)), (3L, doc(5)), (4L, ""),
+      (5L, doc(33)), (6L, doc(56)), (7L, doc(57))).toDF("doc_id", "text")
+    val out = DocOps.chunkDocs(d, maxWords = 32, overlap = 8).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+      .sortBy(t => (t._1, t._2))
+    val byDoc = out.groupBy(_._1).view.mapValues(_.length).toMap
+    // exact multiples of stride past maxWords land a final SHORT chunk
+    // (n=56 = 32+24 → 2 chunks); one word past adds a third (n=57)
+    assert(byDoc === Map(1L -> 3, 2L -> 1, 3L -> 1, 4L -> 1, 5L -> 2,
+      6L -> 2, 7L -> 3))
+    // every chunk is the exact word-window of the original
+    val words80 = doc(80).split("\\s+")
+    for ((_, ci, text, nw) <- out.filter(_._1 == 1L)) {
+      val start = (ci * 24).toInt
+      assert(text === words80.slice(start, start + 32).mkString(" "))
+      assert(nw === math.min(32L, 80L - start))
+    }
+    // consecutive chunks overlap by exactly `overlap` words
+    val c1 = out.filter(_._1 == 1L).map(_._3.split(" ").toSeq)
+    assert(c1(0).takeRight(8) === c1(1).take(8))
+    assert(c1(1).takeRight(8) === c1(2).take(8))
+    // full reconstruction: chunk 0 + each later chunk minus its overlap
+    assert((c1(0) ++ c1.drop(1).flatMap(_.drop(8))) === words80.toSeq)
+    // empty doc: one empty chunk, 0 words
+    assert(out.filter(_._1 == 4L).toSeq === Seq((4L, 0L, "", 0L)))
+  }
+
+  test("capPerSource: two-phase bucket-offset rank ≡ direct per-source window") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val d = (0 until 400).map(i => (i.toLong, s"text $i", "en", s"src${i % 3}", 6L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val h = DocOps.md5Hash60(concat(lit("cap:"), col("doc_id").cast("string")))
+    val direct = d.select(col("doc_id"), col("source"), h.as("cap_h"))
+      .withColumn("cap_rank", row_number().over(
+        Window.partitionBy(col("source")).orderBy(col("cap_h"), col("doc_id"))).cast("long"))
+      .where(col("cap_rank") <= 20)
+      .select("doc_id", "source", "cap_rank")
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).sorted.toVector
+    // equal at several bucket counts (incl. 1 = degenerate single bucket)
+    for (b <- Seq(1, 4, 32))
+      assert(rows(DocOps.capPerSource(d, k = 20, nBuckets = b)
+        .select("doc_id", "source", "cap_rank")) === rows(direct), s"nBuckets=$b")
+    // k beyond the group size keeps everything, ranks a permutation of 1..n
+    val all = DocOps.capPerSource(d, k = 1000).collect()
+    assert(all.length === 400)
+    // repartition-invariant (deterministic hash order, no RNG)
+    assert(rows(DocOps.capPerSource(d.repartition(7), k = 20)
+        .select("doc_id", "source", "cap_rank")) ===
+      rows(DocOps.capPerSource(d, k = 20).select("doc_id", "source", "cap_rank")))
+  }
+
+  test("temperature resampling: α=1/2 factors and materialized multiplicity") {
+    val s = spark
+    import s.implicits._
+    // sources of size 1, 4, 25, 100 → budget 10 → factors 10, 5, 2, 1
+    val d = (Seq.fill(1)("a") ++ Seq.fill(4)("b") ++ Seq.fill(25)("c") ++
+      Seq.fill(100)("d")).zipWithIndex
+      .map { case (src, i) => (i.toLong, s"text $i", "en", src, 6L) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val f = DocOps.sourceRepeatFactors(d, budget = 10).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(f === Map("a" -> (1L, 10L), "b" -> (4L, 5L), "c" -> (25L, 2L),
+      "d" -> (100L, 1L)))
+    val rs = DocOps.resampleByTemperature(d, budget = 10).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(rs.length === 1 * 10 + 4 * 5 + 25 * 2 + 100 * 1)
+    // each doc appears exactly factor(source) times with copy_idx 0..f-1
+    val byDoc = rs.groupBy(_._1)
+    assert(byDoc.forall { case (_, copies) =>
+      val fct = f(copies.head._2)._2
+      copies.map(_._3).sorted.toSeq === (0L until fct)
+    })
+  }
 }

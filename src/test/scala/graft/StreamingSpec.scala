@@ -218,4 +218,63 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(out.head.doc_md === "first page\n\n---\n\nsecond page\n\n---\n\nthird page")
     } finally q.stop()
   }
+
+  test("continuous incremental dedup: foreachBatch state ≡ full recompute; replay idempotent") {
+    import graft.ops.DocOps
+    import graft.streaming.DedupStream
+    val s = spark
+    import s.implicits._
+    def words(from: Int, to: Int): String =
+      (from to to).map(i => s"tok$i").mkString(" ")
+    // three landing files → three micro-batches (maxFilesPerTrigger=1);
+    // cross-batch exact dup (10≡1), cross-batch near-dup chain (20/21≡11),
+    // isolated docs in every batch
+    val batches = Seq(
+      Seq((1L, words(1, 20)), (2L, words(2, 21)), (3L, words(100, 119))),
+      Seq((10L, words(1, 20)), (11L, words(200, 219))),
+      Seq((20L, words(200, 219)), (21L, words(200, 219)), (22L, words(300, 319))))
+    val work = Files.createTempDirectory("graft-dedup-stream").toFile.getAbsolutePath
+    val landing = s"$work/landing"
+    val state = s"$work/state"
+    batches.foreach(b => b.toDF("doc_id", "text").coalesce(1)
+      .write.mode("append").parquet(landing))
+    val schema = batches.head.toDF("doc_id", "text").schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(landing)
+    val q = stream.writeStream.foreachBatch(DedupStream.sink(state))
+      .option("checkpointLocation", s"$work/ckpt").start()
+    q.processAllAvailable(); q.stop()
+
+    val fs = new org.apache.hadoop.fs.Path(state)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val lastV = fs.listStatus(new org.apache.hadoop.fs.Path(state))
+      .map(_.getPath.getName).filter(_.startsWith("labels_v"))
+      .map(_.stripPrefix("labels_v").toLong).max
+    assert(lastV === batches.length - 1L)
+    def lab(df: org.apache.spark.sql.DataFrame): Map[Long, Long] =
+      df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val streamed = lab(spark.read.parquet(s"$state/labels_v$lastV"))
+    val all = batches.flatten.toDF("doc_id", "text")
+    val full = lab(DocOps.keepersFromEdges(all, DocOps.simhashEdges(all)))
+    assert(streamed === full)
+    assert(full(10L) === full(1L))                     // cross-batch exact dup
+    assert(full(20L) === full(11L) && full(21L) === full(11L)) // near-dup chain
+    assert(Set(3L, 22L).forall(d => full(d) === d))    // isolated docs
+
+    // crash-replay: re-deliver the LAST batch (same batchId) — state reads
+    // come from version lastV-1, writes overwrite version lastV → the
+    // recomputed tables are byte-identical
+    DedupStream.processBatch(spark, state,
+      batches.last.toDF("doc_id", "text"), lastV)
+    assert(lab(spark.read.parquet(s"$state/labels_v$lastV")) === full)
+    // index stays rep-level: one rep per distinct (batch, fingerprint),
+    // 4 band rows each — in-batch dup groups (20/21) collapse before the
+    // index ever sees them
+    val expectedReps = batches.map(b =>
+      DocOps.simhash(b.toDF("doc_id", "text"))
+        .select("simhash").distinct().count()).sum
+    val idx = spark.read.parquet(s"$state/index_v$lastV")
+    assert(idx.count() === expectedReps * 4L)
+    assert(expectedReps < batches.map(_.length).sum) // the collapse did fire
+  }
 }
