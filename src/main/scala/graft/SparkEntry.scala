@@ -433,6 +433,11 @@ object SparkEntry {
       DocOps.resampleByTemperature(docs(s, dir), budget = 10)
         .orderBy("doc_id", "copy_idx")),
 
+    // deterministic training-shard assignment (round 7): shard = salted
+    // hash mod nShards, in-shard position = two-phase bucket-offset rank
+    "doc_shards" -> ((s, dir) =>
+      DocOps.shardForTraining(docs(s, dir), nShards = 8).orderBy("doc_id")),
+
     // PII scrubbing: counts + deterministic redaction chain (round 5)
     "doc_pii_scrub" -> ((s, dir) =>
       DocOps.piiScrub(docs(s, dir)).orderBy("doc_id")),
@@ -935,6 +940,12 @@ object SparkEntry {
 
     "doc_resample" ->
       """SELECT * FROM (WITH f AS (SELECT source, greatest(CAST(1 AS BIGINT), CAST(floor(10.0 / sqrt(CAST(count(*) AS DOUBLE))) AS BIGINT)) AS rf FROM documents GROUP BY source) SELECT d.doc_id, d.source, unnest(range(f.rf)) AS copy_idx FROM documents d JOIN f USING (source)) ORDER BY doc_id, copy_idx""",
+
+    // shard assignment replayed in its direct form: one window per shard
+    // over (salted hash, doc_id) — the Spark side's two-phase rank must
+    // equal it exactly
+    "doc_shards" ->
+      """WITH h AS (SELECT doc_id, CAST(('0x' || substr(md5('shard:' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) AS rk FROM documents) SELECT doc_id, rk % 8 AS shard, CAST(row_number() OVER (PARTITION BY rk % 8 ORDER BY rk, doc_id) AS BIGINT) - 1 AS shard_pos FROM h ORDER BY doc_id""",
 
     // per-source report: integer sums merged then ratios derived
     "doc_source_report" ->

@@ -1428,27 +1428,62 @@ object DocOps {
     * formulation; the oracle replays that direct form in SQL.
     */
   def capPerSource(docs: DataFrame, k: Int, nBuckets: Int = 32): DataFrame = {
-    require(k >= 0 && nBuckets >= 1 && (nBuckets & (nBuckets - 1)) == 0 &&
+    require(k >= 0, s"k must be >= 0: $k")
+    val h = md5Hash60(concat(lit("cap:"), col("doc_id").cast("string")))
+    twoPhaseRank(docs.select(col("doc_id"), col("source").as("grp"),
+        h.as("rk_h")), nBuckets)
+      .where(col("rank") <= k.toLong)
+      .select(col("doc_id"), col("grp").as("source"), col("rank").as("cap_rank"))
+  }
+
+  /** Shared trunk of [[capPerSource]] and [[shardForTraining]]: the global
+    * rank of each row within its `grp` under the total order
+    * (rk_h, doc_id), computed WITHOUT a one-task-per-group window. The
+    * rank key's own top bits range-bucket its order (bucket = rk_h >>
+    * (60 − log₂ nBuckets) is monotone in rk_h, so bucket order refines
+    * key order); (grp, bucket) windows rank locally with
+    * nGroups·nBuckets-way parallelism, and a tiny count table prefix-sums
+    * into per-bucket offsets broadcast back: rank = offset + local rank.
+    * Input (doc_id, grp, rk_h); output + `rank` (1-based).
+    */
+  private def twoPhaseRank(d: DataFrame, nBuckets: Int): DataFrame = {
+    require(nBuckets >= 1 && (nBuckets & (nBuckets - 1)) == 0 &&
       nBuckets <= (1 << 20), s"nBuckets must be a power of two: $nBuckets")
     import org.apache.spark.sql.expressions.Window
     val shift = 60 - Integer.numberOfTrailingZeros(nBuckets)
-    val h = md5Hash60(concat(lit("cap:"), col("doc_id").cast("string")))
-    val withH = docs.select(col("doc_id"), col("source"), h.as("cap_h"))
-      .withColumn("bkt", shiftright(col("cap_h"), shift))
-    val local = withH.withColumn("lr",
-      row_number().over(Window.partitionBy(col("source"), col("bkt"))
-        .orderBy(col("cap_h"), col("doc_id"))).cast("long"))
-    val counts = withH.groupBy(col("source"), col("bkt"))
+    val b = d.withColumn("bkt", shiftright(col("rk_h"), shift))
+    val local = b.withColumn("lr",
+      row_number().over(Window.partitionBy(col("grp"), col("bkt"))
+        .orderBy(col("rk_h"), col("doc_id"))).cast("long"))
+    val offsets = b.groupBy(col("grp"), col("bkt"))
       .agg(count(lit(1)).as("c"))
-    val offsets = counts.withColumn("off",
-      coalesce(sum(col("c")).over(Window.partitionBy(col("source"))
-        .orderBy(col("bkt"))
-        .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-      .select(col("source"), col("bkt"), col("off"))
-    local.join(broadcast(offsets), Seq("source", "bkt"))
-      .where(col("off") + col("lr") <= k.toLong)
-      .select(col("doc_id"), col("source"),
-        (col("off") + col("lr")).as("cap_rank"))
+      .withColumn("off",
+        coalesce(sum(col("c")).over(Window.partitionBy(col("grp"))
+          .orderBy(col("bkt"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("grp"), col("bkt"), col("off"))
+    local.join(broadcast(offsets), Seq("grp", "bkt"))
+      .withColumn("rank", col("off") + col("lr"))
+  }
+
+  /** Deterministic global shuffle into training shards — the last step
+    * before a trainer reads the corpus: shard = salted hash mod nShards
+    * (balanced in expectation), position within the shard = rank in hash
+    * order (a repeatable pseudo-random permutation — no RNG state, stable
+    * across retries/resumes, independent of input layout). Writers then
+    * `partitionBy(shard)` + sort by shard_pos to lay the files out.
+    *
+    * 100-TB shape: the same two-phase bucket-offset rank as
+    * [[capPerSource]] — nShards·nBuckets parallel local windows plus one
+    * broadcast offset table; never a single-task per-shard sort.
+    */
+  def shardForTraining(docs: DataFrame, nShards: Int, nBuckets: Int = 32): DataFrame = {
+    require(nShards >= 1, s"nShards must be >= 1: $nShards")
+    val h = md5Hash60(concat(lit("shard:"), col("doc_id").cast("string")))
+    twoPhaseRank(docs.select(col("doc_id"), h.as("rk_h"))
+        .withColumn("grp", pmod(col("rk_h"), lit(nShards.toLong))), nBuckets)
+      .select(col("doc_id"), col("grp").as("shard"),
+        (col("rank") - 1L).as("shard_pos"))
   }
 
   /** Temperature-style source upsampling factors (α = 1/2): rare sources

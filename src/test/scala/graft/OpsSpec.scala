@@ -1213,6 +1213,27 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       rows(DocOps.capPerSource(d, k = 20).select("doc_id", "source", "cap_rank")))
   }
 
+  test("shardForTraining: deterministic permutation, dense in-shard positions") {
+    val s = spark
+    import s.implicits._
+    val d = (0 until 500).map(i => (i.toLong, s"text $i"))
+      .toDF("doc_id", "text")
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted.toVector
+    val out = rows(DocOps.shardForTraining(d, nShards = 8))
+    assert(out.length === 500)
+    assert(out.map(_._1).distinct.length === 500) // every doc exactly once
+    // per shard: positions are exactly 0..n-1 (dense rank, no gaps)
+    for ((_, inShard) <- out.groupBy(_._2))
+      assert(inShard.map(_._3).sorted.toSeq === (0L until inShard.length))
+    // balanced in expectation: no shard is pathologically loaded
+    val sizes = out.groupBy(_._2).view.mapValues(_.length).values
+    assert(sizes.max < 3 * sizes.min, sizes.mkString(","))
+    // invariant under layout and bucket count
+    assert(rows(DocOps.shardForTraining(d.repartition(7), 8)) === out)
+    assert(rows(DocOps.shardForTraining(d, 8, nBuckets = 4)) === out)
+  }
+
   test("temperature resampling: α=1/2 factors and materialized multiplicity") {
     val s = spark
     import s.implicits._

@@ -96,4 +96,38 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!df.queryExecution.executedPlan.toString.contains("Exchange"),
       "per-turn extraction must stay narrow")
   }
+
+  test("doc_chunk: pure flatMap projection — no Exchange, stays in codegen") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val plan = graft.ops.DocOps.chunkDocs(docs, 32, 8)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), "chunking must not shuffle")
+    // `*(n)` is the whole-stage-codegen marker in the simple plan string —
+    // split/Generate/slice/array_join all inside one codegen stage
+    assert(plan.contains("*(1) Project") && plan.contains("*(1) Generate"),
+      plan.take(1500))
+  }
+
+  test("doc_source_caps: offset table broadcasts; no per-source global sort") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val plan = graft.ops.DocOps.capPerSource(docs, k = 15)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
+    assert(!plan.contains("CartesianProduct"))
+    // the only windows run over (source, bkt) / the tiny counts table —
+    // never a single-partition global sort
+    assert(!plan.contains("SinglePartition"),
+      "cap rank must not serialize onto one partition")
+  }
+
+  test("doc_resample: factor table broadcasts onto the corpus; explode is map-side") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val qe = graft.ops.DocOps.resampleByTemperature(docs).queryExecution
+    val plan = qe.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
+    // the explode (Generate) must sit ABOVE the broadcast join, not under
+    // an exchange of the exploded rows
+    assert(plan.contains("Generate"), plan.take(2000))
+    assert(!plan.contains("CartesianProduct"))
+  }
 }
