@@ -438,6 +438,10 @@ object SparkEntry {
     "doc_shards" -> ((s, dir) =>
       DocOps.shardForTraining(docs(s, dir), nShards = 8).orderBy("doc_id")),
 
+    // exact per-source length quantiles via the value histogram (round 7)
+    "doc_quantiles" -> ((s, dir) =>
+      DocOps.sourceQuantiles(docs(s, dir)).orderBy("source")),
+
     // PII scrubbing: counts + deterministic redaction chain (round 5)
     "doc_pii_scrub" -> ((s, dir) =>
       DocOps.piiScrub(docs(s, dir)).orderBy("doc_id")),
@@ -946,6 +950,11 @@ object SparkEntry {
     // equal it exactly
     "doc_shards" ->
       """WITH h AS (SELECT doc_id, CAST(('0x' || substr(md5('shard:' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) AS rk FROM documents) SELECT doc_id, rk % 8 AS shard, CAST(row_number() OVER (PARTITION BY rk % 8 ORDER BY rk, doc_id) AS BIGINT) - 1 AS shard_pos FROM h ORDER BY doc_id""",
+
+    // exact quantiles: same histogram + cumulative window + smallest-value-
+    // reaching-target selection; window sums CAST to BIGINT (HUGEINT)
+    "doc_quantiles" ->
+      """WITH c AS (SELECT source, n_chars, count(*) AS c FROM documents GROUP BY source, n_chars), t AS (SELECT source, n_chars, CAST(sum(c) OVER (PARTITION BY source ORDER BY n_chars) AS BIGINT) AS cum, CAST(sum(c) OVER (PARTITION BY source) AS BIGINT) AS n FROM c) SELECT source, min(CASE WHEN cum >= greatest(CAST(ceil(0.25 * n) AS BIGINT), 1) THEN n_chars END) AS p25, min(CASE WHEN cum >= greatest(CAST(ceil(0.5 * n) AS BIGINT), 1) THEN n_chars END) AS p50, min(CASE WHEN cum >= greatest(CAST(ceil(0.9 * n) AS BIGINT), 1) THEN n_chars END) AS p90 FROM t GROUP BY source ORDER BY source""",
 
     // per-source report: integer sums merged then ratios derived
     "doc_source_report" ->

@@ -1521,6 +1521,38 @@ object DocOps {
       .select(col("doc_id"), col("source"),
         explode(sequence(lit(0L), col("repeat_factor") - 1L)).as("copy_idx"))
 
+  /** EXACT per-source quantiles of an integer metric (here n_chars) by
+    * the histogram method — the right shape for corpus-scale exact
+    * percentiles over bounded-cardinality values: ONE partial-agg shuffle
+    * on (source, value) collapses the corpus to its value histogram
+    * (|distinct lengths| rows per source, independent of corpus size);
+    * the cumulative window and the quantile selection then run over that
+    * tiny table. The q-quantile is the element of rank max(1, ⌈q·n⌉) in
+    * sorted order = the smallest value whose cumulative count reaches the
+    * target — integer comparisons throughout (the only double is q·n,
+    * identical IEEE multiply-and-ceil in any engine).
+    *
+    * Contrast with percentile_approx: no error bound to reason about, and
+    * the oracle can replay it exactly.
+    */
+  def sourceQuantiles(docs: DataFrame,
+                      qs: Seq[Double] = Seq(0.25, 0.5, 0.9)): DataFrame = {
+    require(qs.nonEmpty && qs.forall(q => q > 0.0 && q <= 1.0), s"bad qs: $qs")
+    import org.apache.spark.sql.expressions.Window
+    val counts = docs.groupBy(col("source"), col("n_chars"))
+      .agg(count(lit(1)).as("c"))
+    val cum = counts
+      .withColumn("cum", sum(col("c")).over(
+        Window.partitionBy(col("source")).orderBy(col("n_chars"))))
+      .withColumn("n", sum(col("c")).over(Window.partitionBy(col("source"))))
+    val sels = qs.map { q =>
+      val target = greatest(ceil(lit(q) * col("n")), lit(1L))
+      min(when(col("cum") >= target, col("n_chars")))
+        .as(s"p${math.round(q * 100)}")
+    }
+    cum.groupBy(col("source")).agg(sels.head, sels.tail: _*)
+  }
+
   /** Corpus-wide distinct-word sketch via the custom HLL aggregate
     * (graft.functions.HllSketch): one narrow pass, a 1KB partial per task,
     * merge = elementwise max — COUNT(DISTINCT) at corpus scale without

@@ -1234,6 +1234,29 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows(DocOps.shardForTraining(d, 8, nBuckets = 4)) === out)
   }
 
+  test("sourceQuantiles: exact rank-⌈q·n⌉ selection via the value histogram") {
+    val s = spark
+    import s.implicits._
+    val vals = Map(
+      "a" -> (1L to 10L),                 // distinct run
+      "b" -> Seq(5L, 5L, 5L, 5L),         // all-equal
+      "c" -> Seq(1L, 1L, 2L, 100L, 100L)) // skewed with ties
+    val d = vals.toSeq.flatMap { case (src, vs) => vs.map(src -> _) }
+      .zipWithIndex
+      .map { case ((src, v), i) => (i.toLong, "t", "en", src, v) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = DocOps.sourceQuantiles(d).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    def direct(vs: Seq[Long], q: Double): Long = {
+      val sorted = vs.sorted
+      sorted((math.max(1, math.ceil(q * vs.length).toLong) - 1).toInt)
+    }
+    for ((src, vs) <- vals)
+      assert(out(src) === (direct(vs.toSeq, 0.25), direct(vs.toSeq, 0.5),
+        direct(vs.toSeq, 0.9)), src)
+  }
+
   test("temperature resampling: α=1/2 factors and materialized multiplicity") {
     val s = spark
     import s.implicits._
