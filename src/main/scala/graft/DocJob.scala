@@ -1,0 +1,106 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.ops.DocOps
+import graft.streaming.DedupStream
+
+/** Production entrypoint for the training-data pipeline — the document
+  * sibling of [[ExtractJob]] (same spark-submit shape, same local default):
+  *
+  *   spark-submit --class graft.DocJob app.jar clean    <docs> <outDir>
+  *   spark-submit --class graft.DocJob app.jar dedup    <docs> <stateDir>
+  *   spark-submit --class graft.DocJob app.jar decontam <docs> <evalDocs> <outDir>
+  *   spark-submit --class graft.DocJob app.jar pack     <docs> <outDir> [budget]
+  *   spark-submit --class graft.DocJob app.jar shard    <docs> <outDir> <nShards>
+  *   spark-submit --class graft.DocJob app.jar report   <docs> <outDir>
+  *
+  * `<docs>` is a parquet table shaped like `documents(doc_id, text, lang,
+  * source, n_chars)` (only the columns an op reads are required).
+  *
+  * `dedup` is INCREMENTAL BY CONSTRUCTION: it appends the given docs to the
+  * versioned state under `<stateDir>` (labels_v<N>/index_v<N>, the same
+  * layout [[DedupStream]] maintains under Structured Streaming) — the first
+  * run bootstraps, every later run fingerprints only its own batch and
+  * probes the stored rep-level band index. Batch backfill and streaming
+  * ingestion therefore share one state and one code path.
+  */
+object DocJob {
+  private def usage: String =
+    "usage: DocJob clean <docs> <outDir> | dedup <docs> <stateDir> | " +
+      "decontam <docs> <evalDocs> <outDir> | pack <docs> <outDir> [budget] | " +
+      "shard <docs> <outDir> <nShards> | report <docs> <outDir>"
+
+  def main(args: Array[String]): Unit = {
+    require(args.nonEmpty, usage)
+    val builder = SparkSession.builder()
+      .appName("graft-docs")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+    if (sys.props.get("spark.master").isEmpty && sys.env.get("MASTER").isEmpty)
+      builder.master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+    val spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    try run(spark, args)
+    finally {
+      graft.ops.CacheLedger.release()
+      spark.stop()
+    }
+  }
+
+  /** Subcommand dispatch against a caller-owned session (tests drive this
+    * directly; main owns the session lifecycle around it).
+    */
+  def run(spark: SparkSession, args: Array[String]): Unit = {
+    require(args.nonEmpty, usage)
+    def docs(path: String): DataFrame = spark.read.parquet(path)
+    args(0) match {
+        case "clean" =>
+          require(args.length >= 3, usage)
+          val d = docs(args(1))
+          val verdict = DocOps.cleanCorpus(d)
+          verdict.write.mode("overwrite").parquet(s"${args(2)}/verdict")
+          // kept corpus: verdict is doc_id-keyed — one join back to text
+          d.join(verdict.where(col("kept")).select("doc_id"), Seq("doc_id"))
+            .write.mode("overwrite").parquet(s"${args(2)}/kept")
+          println(s"[graft.DocJob] clean: verdict + kept under ${args(2)}")
+        case "dedup" =>
+          require(args.length >= 3, usage)
+          val id = DedupStream.nextBatchId(spark, args(2))
+          DedupStream.processBatch(spark, args(2), docs(args(1)), id)
+          println(s"[graft.DocJob] dedup: state advanced to v$id in ${args(2)}")
+        case "decontam" =>
+          require(args.length >= 4, usage)
+          DocOps.exciseContaminatedSpans(docs(args(1)), docs(args(2)),
+              broadcastEval = true)
+            .write.mode("overwrite").parquet(args(3))
+          println(s"[graft.DocJob] decontam: excised corpus at ${args(3)}")
+        case "pack" =>
+          require(args.length >= 3, usage)
+          val budget = if (args.length >= 4) args(3).toLong else 2048L
+          DocOps.packSequencesSized(docs(args(1)), budget)
+            .write.mode("overwrite").parquet(args(2))
+          println(s"[graft.DocJob] pack: assignments at ${args(2)}")
+        case "shard" =>
+          require(args.length >= 4, usage)
+          val d = docs(args(1))
+          // materialize: text re-joined onto the assignment, laid out one
+          // directory per shard, each sorted by its dense shard_pos
+          DocOps.shardForTraining(d, args(3).toInt)
+            .join(d, Seq("doc_id"))
+            .repartition(col("shard"))
+            .sortWithinPartitions(col("shard"), col("shard_pos"))
+            .write.mode("overwrite").partitionBy("shard").parquet(args(2))
+          println(s"[graft.DocJob] shard: ${args(3)} shards at ${args(2)}")
+        case "report" =>
+          require(args.length >= 3, usage)
+          DocOps.sourceReport(docs(args(1)))
+            .write.mode("overwrite").parquet(s"${args(2)}/sources")
+          DocOps.sourceQuantiles(docs(args(1)))
+            .write.mode("overwrite").parquet(s"${args(2)}/quantiles")
+          println(s"[graft.DocJob] report: sources + quantiles under ${args(2)}")
+        case other => sys.error(s"unknown subcommand '$other'; $usage")
+    }
+  }
+}

@@ -50,6 +50,14 @@ object DedupStream {
     if (vs.isEmpty) None else Some(vs.max)
   }
 
+  /** Next batch id for DIRECT (non-streaming) appends against the state —
+    * Structured Streaming supplies monotone ids itself; a batch caller
+    * (e.g. [[graft.DocJob]] `dedup`) asks the state instead.
+    */
+  def nextBatchId(spark: SparkSession, stateDir: String): Long =
+    latestVersion(spark, stateDir, "labels_v", Long.MaxValue)
+      .map(_ + 1L).getOrElse(0L)
+
   /** Process one micro-batch of documents(doc_id, text, …) against the
     * state under `stateDir`, writing `index_v<batchId>` and
     * `labels_v<batchId>`. Exposed for direct (non-streaming) use and for

@@ -1257,6 +1257,39 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
         direct(vs.toSeq, 0.9)), src)
   }
 
+  test("DocJob: dedup appends through shared state; shard/report round-trip") {
+    val work = java.nio.file.Files.createTempDirectory("graft-docjob")
+      .toFile.getAbsolutePath
+    // split the corpus into two batches that land as separate dedup runs
+    val half = org.apache.spark.sql.functions.col("doc_id") % 2
+    docs.where(half === 0).write.parquet(s"$work/b0")
+    docs.where(half === 1).write.parquet(s"$work/b1")
+    graft.DocJob.run(spark, Array("dedup", s"$work/b0", s"$work/state"))
+    graft.DocJob.run(spark, Array("dedup", s"$work/b1", s"$work/state"))
+    val labels = spark.read.parquet(s"$work/state/labels_v1").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val full = DocOps.keepersFromEdges(docs, DocOps.simhashEdges(docs))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels === full)
+
+    docs.write.parquet(s"$work/docs")
+    graft.DocJob.run(spark, Array("shard", s"$work/docs", s"$work/shards", "4"))
+    val sharded = spark.read.parquet(s"$work/shards")
+    assert(sharded.count() === docs.count())
+    assert(sharded.select("shard").distinct().count() === 4)
+    // the partition layout carries the shard; positions stay dense per shard
+    val pos = sharded.collect().map(r =>
+      (r.getAs[Any]("shard").toString.toLong, r.getAs[Long]("shard_pos")))
+    for ((_, ps) <- pos.groupBy(_._1))
+      assert(ps.map(_._2).sorted.toSeq === (0L until ps.length))
+
+    graft.DocJob.run(spark, Array("report", s"$work/docs", s"$work/rep"))
+    assert(spark.read.parquet(s"$work/rep/sources").collect().toSet ===
+      DocOps.sourceReport(docs).collect().toSet)
+    assert(spark.read.parquet(s"$work/rep/quantiles").collect().toSet ===
+      DocOps.sourceQuantiles(docs).collect().toSet)
+  }
+
   test("temperature resampling: α=1/2 factors and materialized multiplicity") {
     val s = spark
     import s.implicits._
