@@ -442,6 +442,16 @@ object SparkEntry {
     "doc_quantiles" -> ((s, dir) =>
       DocOps.sourceQuantiles(docs(s, dir)).orderBy("source")),
 
+    // corpus vocabulary (df ≥ 2, top-25 so the cut binds on the tiny
+    // synthetic vocab) + per-doc OOV rate against it (round 7)
+    "doc_vocab" -> ((s, dir) =>
+      DocOps.vocabulary(docs(s, dir), minDf = 2, maxSize = 25).orderBy("rank")),
+
+    "doc_oov" -> ((s, dir) =>
+      DocOps.oovRate(docs(s, dir),
+        DocOps.vocabulary(docs(s, dir), minDf = 2, maxSize = 25))
+        .orderBy("doc_id")),
+
     // PII scrubbing: counts + deterministic redaction chain (round 5)
     "doc_pii_scrub" -> ((s, dir) =>
       DocOps.piiScrub(docs(s, dir)).orderBy("doc_id")),
@@ -950,6 +960,15 @@ object SparkEntry {
     // equal it exactly
     "doc_shards" ->
       """WITH h AS (SELECT doc_id, CAST(('0x' || substr(md5('shard:' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) AS rk FROM documents) SELECT doc_id, rk % 8 AS shard, CAST(row_number() OVER (PARTITION BY rk % 8 ORDER BY rk, doc_id) AS BIGINT) - 1 AS shard_pos FROM h ORDER BY doc_id""",
+
+    // vocabulary: same two aggregations + the same (tf DESC, word) total
+    // order; rank over the full table then cut ≡ Spark's limit-then-rank
+    "doc_vocab" ->
+      """WITH tf AS (SELECT word, doc_id, count(*) AS c FROM (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS word FROM documents) t WHERE length(word) > 0 GROUP BY word, doc_id), v AS (SELECT word, CAST(sum(c) AS BIGINT) AS tf, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY word HAVING count(*) >= 2), r AS (SELECT word, tf, df, CAST(row_number() OVER (ORDER BY tf DESC, word) AS BIGINT) AS rank FROM v) SELECT word, tf, df, rank FROM r WHERE rank <= 25 ORDER BY rank""",
+
+    // OOV: integer token/miss counts; the rate is one int/int IEEE divide
+    "doc_oov" ->
+      """WITH toks AS (SELECT doc_id, word FROM (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS word FROM documents) t WHERE length(word) > 0), tf AS (SELECT word, doc_id, count(*) AS c FROM toks GROUP BY word, doc_id), v AS (SELECT word, CAST(sum(c) AS BIGINT) AS tf, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY word HAVING count(*) >= 2), r AS (SELECT word, CAST(row_number() OVER (ORDER BY tf DESC, word) AS BIGINT) AS rank FROM v), vocab AS (SELECT word FROM r WHERE rank <= 25) SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens, CAST(sum(CASE WHEN vocab.word IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov, CAST(sum(CASE WHEN vocab.word IS NULL THEN 1 ELSE 0 END) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS oov_frac FROM toks LEFT JOIN vocab ON toks.word = vocab.word GROUP BY doc_id ORDER BY doc_id""",
 
     // exact quantiles: same histogram + cumulative window + smallest-value-
     // reaching-target selection; window sums CAST to BIGINT (HUGEINT)

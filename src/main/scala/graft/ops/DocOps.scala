@@ -1521,6 +1521,57 @@ object DocOps {
       .select(col("doc_id"), col("source"),
         explode(sequence(lit(0L), col("repeat_factor") - 1L)).as("copy_idx"))
 
+  /** Corpus vocabulary — the table a tokenizer/filter trainer consumes:
+    * words with document frequency ≥ minDf, top maxSize by (total count
+    * DESC, word ASC — a total order, so the cut is deterministic), with
+    * their dense frequency rank.
+    *
+    * 100-TB shape: two partial-agg shuffles (word counts collapse
+    * map-side; the df agg runs over (doc_id, word) distincts) and a
+    * TakeOrderedAndProject for the top-V cut — the vocab (≤ maxSize rows)
+    * never grows with the corpus, so downstream consumers broadcast it.
+    */
+  def vocabulary(docs: DataFrame, minDf: Long = 2,
+                 maxSize: Int = 1 << 16): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tf = docs
+      .select(col("doc_id"), explode(split(trim(col("text")), "\\s+")).as("word"))
+      .where(length(col("word")) > 0)
+      .groupBy(col("word"), col("doc_id")).agg(count(lit(1)).as("c"))
+    val byWord = tf.groupBy(col("word"))
+      .agg(sum(col("c")).as("tf"), count(lit(1)).as("df"))
+      .where(col("df") >= minDf)
+      .orderBy(col("tf").desc, col("word")).limit(maxSize)
+    // rank over the ≤ maxSize cut — a driver-small table, the single
+    // window partition is by construction bounded
+    byWord.withColumn("rank",
+      row_number().over(Window.orderBy(col("tf").desc, col("word"))).cast("long"))
+  }
+
+  /** Per-doc out-of-vocabulary rate against a [[vocabulary]] table — the
+    * "will my tokenizer shred this document" filter signal. Counts are
+    * integers; the rate is one int/int IEEE division (bit-exact in any
+    * engine).
+    *
+    * 100-TB shape: word explode is map-side; the vocab (bounded by
+    * maxSize) broadcasts into a left-semi-free aggregation — per doc we
+    * count total tokens inline and in-vocab tokens via the broadcast
+    * join, so the only shuffle is the final doc_id partial agg.
+    */
+  def oovRate(docs: DataFrame, vocab: DataFrame): DataFrame = {
+    val toks = docs
+      .select(col("doc_id"), explode(split(trim(col("text")), "\\s+")).as("word"))
+      .where(length(col("word")) > 0)
+    val joined = toks.join(
+      broadcast(vocab.select(col("word"), lit(true).as("in_vocab"))),
+      Seq("word"), "left")
+    joined.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("in_vocab").isNull, 1L).otherwise(0L)).as("n_oov"))
+      .withColumn("oov_frac",
+        col("n_oov").cast("double") / col("n_tokens").cast("double"))
+  }
+
   /** EXACT per-source quantiles of an integer metric (here n_chars) by
     * the histogram method — the right shape for corpus-scale exact
     * percentiles over bounded-cardinality values: ONE partial-agg shuffle

@@ -1290,6 +1290,30 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       DocOps.sourceQuantiles(docs).collect().toSet)
   }
 
+  test("vocabulary: df floor + deterministic top-V cut; OOV counts tokens, not types") {
+    val s = spark
+    import s.implicits._
+    val d = Seq(
+      (1L, "aa aa bb cc"),
+      (2L, "aa bb bb dd"),
+      (3L, "aa xx")).toDF("doc_id", "text")
+    // df: aa=3, bb=2, cc=dd=xx=1 → minDf=2 keeps {aa(tf4), bb(tf3)}
+    val v = DocOps.vocabulary(d, minDf = 2, maxSize = 10).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(v.toSeq === Seq(("aa", 4L, 3L, 1L), ("bb", 3L, 2L, 2L)))
+    // the size cut binds on the same total order
+    val v1 = DocOps.vocabulary(d, minDf = 2, maxSize = 1).collect()
+      .map(r => (r.getString(0), r.getLong(3)))
+    assert(v1.toSeq === Seq(("aa", 1L)))
+    val oov = DocOps.oovRate(d, DocOps.vocabulary(d, minDf = 2, maxSize = 10))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toMap
+    assert(oov === Map(
+      1L -> (4L, 1L, 0.25),                 // cc
+      2L -> (4L, 1L, 0.25),                 // dd
+      3L -> (2L, 1L, 0.5)))                 // xx
+  }
+
   test("temperature resampling: α=1/2 factors and materialized multiplicity") {
     val s = spark
     import s.implicits._
