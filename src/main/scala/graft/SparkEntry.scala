@@ -237,6 +237,11 @@ object SparkEntry {
     "doc_dedup_keepers" -> ((s, dir) =>
       DocOps.dedupKeepers(docs(s, dir), tau = 0.5).orderBy("doc_id")),
 
+    // the production keeper choice (round 7): component representative
+    // re-selected as its best-quality member (ties → min doc_id)
+    "doc_dedup_keepers_q" -> ((s, dir) =>
+      DocOps.dedupKeepersByQuality(docs(s, dir), tau = 0.5).orderBy("doc_id")),
+
     // INCREMENTAL dedup across appends, END TO END (round 7): batch 1
     // (~3/4 of the corpus by salted hash) is a prior run — its keeper
     // labels and rep-level band index persist; batch 2 appends. The
@@ -794,6 +799,12 @@ object SparkEntry {
     // min-label propagation with pointer jumping)
     "doc_dedup_keepers" ->
       s"""WITH RECURSIVE ${JaccardCte.stripPrefix("WITH ")}, edges AS (SELECT doc_a AS u, doc_b AS v FROM pairs UNION ALL SELECT doc_b AS u, doc_a AS v FROM pairs), reach AS (SELECT doc_id AS u, doc_id AS r FROM documents UNION SELECT e.v AS u, reach.r FROM reach JOIN edges e ON e.u = reach.u) SELECT u AS doc_id, min(r) AS keeper_doc_id FROM reach GROUP BY u ORDER BY doc_id""",
+
+    // quality-argmax keepers: the same closure, representative re-selected
+    // by (quality_score DESC, doc_id ASC) — the score chain is the green
+    // doc_quality oracle's, so the argmax tie-break replays bit-exactly
+    "doc_dedup_keepers_q" ->
+      s"""WITH RECURSIVE ${JaccardCte.stripPrefix("WITH ")}, edges AS (SELECT doc_a AS u, doc_b AS v FROM pairs UNION ALL SELECT doc_b AS u, doc_a AS v FROM pairs), reach AS (SELECT doc_id AS u, doc_id AS r FROM documents UNION SELECT e.v AS u, reach.r FROM reach JOIN edges e ON e.u = reach.u), comp AS (SELECT u AS doc_id, min(r) AS comp_id FROM reach GROUP BY u), q AS (SELECT doc_id, least(1.0, n_words/200.0) * (1.0 - least(1.0, punct_ratio * 5.0)) * (0.5 + 0.5 * least(1.0, stop_ratio * 4.0)) AS quality_score FROM (SELECT doc_id, n_words, punct_chars*1.0/n_chars_m AS punct_ratio, CASE WHEN n_words = 0 THEN 0.0 ELSE stop_words*1.0/n_words END AS stop_ratio FROM (SELECT doc_id, length(text) AS n_chars_m, CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_words, length(text) - length(regexp_replace(text, '[!-/:-@\\[-`{-~]', '', 'g')) AS punct_chars, len(list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x IN ('the','a','an','of','and','to','in','is','it','that','for','on','with','as','was','at','by','be'))) AS stop_words FROM documents) t1) t2), rnk AS (SELECT comp.doc_id, comp.comp_id, row_number() OVER (PARTITION BY comp.comp_id ORDER BY q.quality_score DESC, comp.doc_id ASC) AS rn FROM comp JOIN q ON comp.doc_id = q.doc_id), best AS (SELECT comp_id, doc_id AS best_id FROM rnk WHERE rn = 1) SELECT c.doc_id, b.best_id AS keeper_doc_id FROM comp c JOIN best b ON c.comp_id = b.comp_id ORDER BY c.doc_id""",
 
     // incremental maintenance must reproduce the full recompute exactly:
     // the oracle is the same recursive transitive closure over the full

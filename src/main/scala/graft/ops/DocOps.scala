@@ -1521,6 +1521,45 @@ object DocOps {
       .select(col("doc_id"), col("source"),
         explode(sequence(lit(0L), col("repeat_factor") - 1L)).as("copy_idx"))
 
+  /** Re-select each near-dup component's representative as its BEST
+    * member by quality score (ties → min doc_id) — the production keeper
+    * choice: min-doc_id keepers are an artifact of the CC algebra, but a
+    * pipeline wants to keep the cleanest copy, not the first-crawled one.
+    * Takes the min-label keeper table (component id = its min doc_id) and
+    * returns the same (doc_id, keeper_doc_id) shape with keepers moved to
+    * the component argmax. The score is derived from integer counts by
+    * deterministic IEEE steps (the `doc_quality` oracle proves it
+    * bit-exact cross-engine), so the argmax — including its tie-break —
+    * replays exactly in the oracle.
+    *
+    * 100-TB shape: singleton components (the corpus majority) never enter
+    * the argmax — a count aggregate restricts the quality join + max_by to
+    * members of ≥2-member components (dup-density-proportional), and the
+    * final relabel is one left join on the component id with
+    * coalesce-to-self. All shuffled rows are (long, long) or
+    * (long, double).
+    */
+  def keepersByQuality(docs: DataFrame, labels: DataFrame): DataFrame = {
+    val q = qualityScore(docs).select(col("doc_id"), col("quality_score"))
+    val multi = labels.groupBy(col("keeper_doc_id"))
+      .agg(count(lit(1)).as("n")).where(col("n") >= 2)
+      .select(col("keeper_doc_id"))
+    val best = labels.join(multi, Seq("keeper_doc_id"))
+      .join(q, Seq("doc_id"))
+      .groupBy(col("keeper_doc_id"))
+      .agg(max_by(col("doc_id"),
+        struct(col("quality_score"), negate(col("doc_id")))).as("best_doc_id"))
+    labels.join(best, Seq("keeper_doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("best_doc_id"), col("keeper_doc_id")).as("keeper_doc_id"))
+  }
+
+  /** [[dedupKeepers]] with the representative moved to the component's
+    * best-quality member ([[keepersByQuality]]).
+    */
+  def dedupKeepersByQuality(docs: DataFrame, tau: Double = 0.5): DataFrame =
+    keepersByQuality(docs, keepersFromEdges(docs, nearDupEdges(docs, tau)))
+
   /** Corpus vocabulary — the table a tokenizer/filter trainer consumes:
     * words with document frequency ≥ minDf, top maxSize by (total count
     * DESC, word ASC — a total order, so the cut is deterministic), with

@@ -1290,6 +1290,31 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       DocOps.sourceQuantiles(docs).collect().toSet)
   }
 
+  test("keepersByQuality: component representative moves to the quality argmax") {
+    val s = spark
+    import s.implicits._
+    // component {1,2,3}: doc 3 has the most words → highest quality score;
+    // singletons keep themselves; an all-equal-score component falls back
+    // to min doc_id
+    def lowQ(i: Int) = s"short text number$i"
+    val richer = "the data and the table is it that for on with as was at " +
+      "by be a an of row scan merge sort key value batch part hash line"
+    val d = Seq(
+      (1L, lowQ(1)), (2L, lowQ(1)), (3L, lowQ(1) + " " + richer),
+      (10L, "isolated document with its own words here"),
+      (20L, "same quality twin copy"), (21L, "same quality twin copy"))
+      .toDF("doc_id", "text")
+    val labels = Seq((1L, 1L), (2L, 1L), (3L, 1L), (10L, 10L),
+      (20L, 20L), (21L, 20L)).toDF("doc_id", "keeper_doc_id")
+    val out = DocOps.keepersByQuality(d, labels).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val q = DocOps.qualityScore(d).collect()
+      .map(r => r.getLong(0) -> r.getAs[Double]("quality_score")).toMap
+    assert(q(3L) > q(1L), s"fixture must make 3 the best: $q")
+    assert(out === Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 10L -> 10L,
+      20L -> 20L, 21L -> 20L))
+  }
+
   test("vocabulary: df floor + deterministic top-V cut; OOV counts tokens, not types") {
     val s = spark
     import s.implicits._
