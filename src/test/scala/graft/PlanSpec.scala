@@ -120,6 +120,17 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       "cap rank must not serialize onto one partition")
   }
 
+  test("doc_oov: the bounded vocabulary broadcasts onto the token stream") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val plan = graft.ops.DocOps.oovRate(docs,
+        graft.ops.DocOps.vocabulary(docs, minDf = 2, maxSize = 25))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
+    assert(!plan.contains("SortMergeJoin"),
+      "the vocab must never shuffle-join against the corpus")
+    assert(plan.contains("TakeOrdered"), "the top-V cut must be a TakeOrdered")
+  }
+
   test("doc_resample: factor table broadcasts onto the corpus; explode is map-side") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
     val qe = graft.ops.DocOps.resampleByTemperature(docs).queryExecution

@@ -56,6 +56,15 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     outQ2.processAllAvailable(); outQ2.stop()
     assert(spark.table("dedup_stream").orderBy("doc_id").collect().toSeq ===
       DocOps.dedupLines(docs).orderBy("doc_id").collect().toSeq)
+    // chunking (round 7) is the same pure flatMap shape — docs landing
+    // from a stream chunk identically to batch
+    val outQc = DocOps.chunkDocs(stream, maxWords = 3, overlap = 1).writeStream
+      .format("memory").queryName("chunk_stream").outputMode("append").start()
+    outQc.processAllAvailable(); outQc.stop()
+    assert(spark.table("chunk_stream").orderBy("doc_id", "chunk_idx")
+        .collect().toSeq ===
+      DocOps.chunkDocs(docs, maxWords = 3, overlap = 1)
+        .orderBy("doc_id", "chunk_idx").collect().toSeq)
     // the Gopher rule bundle is also a pure projection → same symmetry
     val outQ3 = DocOps.gopherRules(stream).writeStream
       .format("memory").queryName("gopher_stream").outputMode("append").start()
