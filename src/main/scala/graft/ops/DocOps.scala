@@ -401,12 +401,16 @@ object DocOps {
       col("doc_id").as("doc_a"), col("simhash").as("sh_a"))
     val b = banded.select(col("chunk_idx"), col("chunk_val"),
       col("doc_id").as("doc_b"), col("simhash").as("sh_b"))
+    // hamming filter BEFORE the dedup shuffle: chunk collisions are mostly
+    // far pairs (15 shared bits say little about the other 45), so the
+    // filter drops them map-side and only near pairs reach the distinct —
+    // semantics unchanged (hamming is a pure function of the pair)
     val repPairs = a.join(b, Seq("chunk_idx", "chunk_val"))
       .where(col("doc_a") < col("doc_b"))
       .select(col("doc_a"), col("doc_b"), col("sh_a"), col("sh_b"),
         bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).cast("long").as("hamming"))
-      .distinct()
       .where(col("hamming") <= maxDist)
+      .distinct()
     (members, reps, repPairs)
   }
 
@@ -473,13 +477,15 @@ object DocOps {
         col("doc_id").as("doc_b"), col("simhash").as("sh_b"))
       .union(newBands.select(col("chunk_idx"), col("chunk_val"),
         col("doc_id").as("doc_b"), col("simhash").as("sh_b")))
+    // same filter-before-distinct ordering as simhashCore: far pairs die
+    // map-side, the dedup shuffle sees only near candidates
     val pairs = probe.join(index, Seq("chunk_idx", "chunk_val"))
       .where(col("doc_a") =!= col("doc_b"))
       .select(least(col("doc_a"), col("doc_b")).as("doc_a"),
         greatest(col("doc_a"), col("doc_b")).as("doc_b"),
         bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).cast("long").as("hamming"))
-      .distinct()
       .where(col("hamming") <= maxDist)
+      .distinct()
 
     val starGroups = reps.where(col("n_members") >= 2)
       .select(col("simhash"), col("doc_id").as("rep"))
