@@ -315,6 +315,11 @@ object SparkEntry {
     "doc_paragraph_dedup" -> ((s, dir) =>
       DocOps.dedupParagraphs(docs(s, dir)).orderBy("doc_id")),
 
+    // the other dedup policy (round 7): keep the FIRST occurrence of each
+    // non-empty paragraph corpus-wide, excise the rest
+    "doc_paragraph_keepfirst" -> ((s, dir) =>
+      DocOps.dedupParagraphsKeepFirst(docs(s, dir)).orderBy("doc_id")),
+
     // benchmark decontamination (round 5): 13-gram overlap of the corpus
     // against the deterministic held-out eval split
     "doc_decontam" -> ((s, dir) =>
@@ -829,6 +834,12 @@ object SparkEntry {
     // with an ordered string_agg; fully-emptied docs coalesce to ''
     "doc_paragraph_dedup" ->
       """WITH split AS (SELECT doc_id, str_split(text, chr(10) || chr(10)) AS ps FROM documents), par AS (SELECT doc_id, ps, unnest(range(len(ps))) AS pos FROM split), p AS (SELECT doc_id, pos, ps[pos + 1] AS para FROM par), shared AS (SELECT para FROM p GROUP BY para HAVING count(DISTINCT doc_id) >= 2), agg AS (SELECT doc_id, string_agg(para, chr(10) || chr(10) ORDER BY pos) AS cleaned_text FROM p WHERE para NOT IN (SELECT para FROM shared) GROUP BY doc_id), rm AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM p WHERE para IN (SELECT para FROM shared) GROUP BY doc_id) SELECT d.doc_id, coalesce(a.cleaned_text, '') AS cleaned_text, coalesce(rm.n, CAST(0 AS BIGINT)) AS n_paras_removed FROM documents d LEFT JOIN agg a ON a.doc_id = d.doc_id LEFT JOIN rm ON rm.doc_id = d.doc_id ORDER BY d.doc_id""",
+
+    // keep-first paragraph dedup: first occurrence = row_number 1 in the
+    // (doc_id, pos) order within each md5(para) class; empty paragraphs
+    // are structural and never counted
+    "doc_paragraph_keepfirst" ->
+      """WITH split AS (SELECT doc_id, str_split(text, chr(10) || chr(10)) AS ps FROM documents), par AS (SELECT doc_id, ps, unnest(range(len(ps))) AS pos FROM split), p AS (SELECT doc_id, pos, ps[pos + 1] AS para FROM par), np AS (SELECT doc_id, pos, para FROM p WHERE length(trim(para)) > 0), f AS (SELECT doc_id, pos, row_number() OVER (PARTITION BY md5(para) ORDER BY doc_id, pos) AS rn FROM np), rm AS (SELECT doc_id, pos FROM f WHERE rn > 1), kept AS (SELECT p.doc_id, p.pos, p.para FROM p LEFT JOIN rm ON p.doc_id = rm.doc_id AND p.pos = rm.pos WHERE rm.doc_id IS NULL), agg AS (SELECT doc_id, string_agg(para, chr(10) || chr(10) ORDER BY pos) AS deduped_text FROM kept GROUP BY doc_id), rmc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM rm GROUP BY doc_id) SELECT d.doc_id, coalesce(a.deduped_text, '') AS deduped_text, coalesce(rmc.n, CAST(0 AS BIGINT)) AS n_paras_removed FROM documents d LEFT JOIN agg a ON a.doc_id = d.doc_id LEFT JOIN rmc ON rmc.doc_id = d.doc_id ORDER BY d.doc_id""",
 
     // decontamination recomputed independently (see DecontamCtes)
     "doc_decontam" ->

@@ -823,6 +823,40 @@ object DocOps {
         coalesce(size(col("rm")).cast("long"), lit(0L)).as("n_paras_removed"))
   }
 
+  /** First-occurrence paragraph dedup — the other cleaning policy next to
+    * [[dedupParagraphs]]: instead of dropping EVERY occurrence of shared
+    * boilerplate, keep exactly ONE copy of each non-empty paragraph
+    * corpus-wide (the first in (doc_id, pos) order — a deterministic total
+    * order) and excise the rest. Empty/whitespace-only paragraphs are
+    * structural and never removed, so delimiter runs survive; removing a
+    * paragraph removes exactly one "\n\n" joint and every byte outside it
+    * is preserved (exact-delimiter split/join).
+    *
+    * 100-TB shape: same discipline as [[dedupParagraphs]] — paragraphs are
+    * digested map-side, the first-occurrence argmin is one partial-agg
+    * shuffle on (digest, doc_id, pos), the removal set travels as ints,
+    * and a pure index-aware filter HOF rebuilds the text in place. The
+    * only strings crossing an exchange are 32-char digests.
+    */
+  def dedupParagraphsKeepFirst(docs: DataFrame): DataFrame = {
+    val paras = docs.select(col("doc_id"),
+        posexplode(split(col("text"), "\n\n")).as(Seq("pos", "p")))
+      .select(col("doc_id"), col("pos"), md5(col("p")).as("h"))
+      .where(length(trim(col("p"))) > 0)
+    val firsts = paras.groupBy(col("h"))
+      .agg(min(struct(col("doc_id"), col("pos"))).as("f"))
+    val rm = paras.join(firsts, Seq("h"))
+      .where(!(col("f.doc_id") === col("doc_id") && col("f.pos") === col("pos")))
+      .groupBy(col("doc_id")).agg(collect_set(col("pos")).as("rm"))
+    docs.join(rm, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        array_join(
+          filter(split(col("text"), "\n\n"),
+            (p, i) => coalesce(!array_contains(col("rm"), i), lit(true))),
+          "\n\n").as("deduped_text"),
+        coalesce(size(col("rm")).cast("long"), lit(0L)).as("n_paras_removed"))
+  }
+
   // ------------------------------------------------------- decontamination
 
   /** Shingle size for benchmark decontamination — the GPT-3/Llama 13-gram

@@ -1315,6 +1315,29 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       20L -> 20L, 21L -> 20L))
   }
 
+  test("keep-first paragraph dedup: one copy survives, bytes outside joints preserved") {
+    val s = spark
+    import s.implicits._
+    val boiler = "shared license block"
+    val d = Seq(
+      (1L, s"$boiler\n\nunique one\n\n$boiler"),   // in-doc repeat too
+      (2L, s"intro two\n\n$boiler\n\ntail two"),
+      (3L, boiler),                                 // fully-deduped doc
+      (4L, s"solo\n\n\n\nafter empties"),           // empty paras are structural
+      (5L, "")).toDF("doc_id", "text")
+    val out = DocOps.dedupParagraphsKeepFirst(d).collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    assert(out(1L) === (s"$boiler\n\nunique one", 1L)) // first copy kept (doc 1 pos 0)
+    assert(out(2L) === ("intro two\n\ntail two", 1L))
+    assert(out(3L) === ("", 1L))
+    assert(out(4L) === (s"solo\n\n\n\nafter empties", 0L)) // empties untouched
+    assert(out(5L) === ("", 0L))
+    // untouched docs are byte-identical (split/join identity)
+    val solo = Seq((9L, "a\n\nb\n\n\nc \n\n d")).toDF("doc_id", "text")
+    assert(DocOps.dedupParagraphsKeepFirst(solo).collect()(0).getString(1) ===
+      "a\n\nb\n\n\nc \n\n d")
+  }
+
   test("vocabulary: df floor + deterministic top-V cut; OOV counts tokens, not types") {
     val s = spark
     import s.implicits._
