@@ -529,12 +529,15 @@ object DocOps {
         greatest(col("a"), col("b")).as("doc_b"), col("hamming"))
   }
 
-  /** The DIRECT (no digest collapse) formulation — kept as the reference
-    * implementation the equivalence spec compares [[simhashPairs]] against.
-    * Quadratic through the candidate shuffle on duplicate groups; never
-    * use at scale.
+  /** The DIRECT (no fingerprint collapse) formulation — the reference
+    * implementation the equivalence spec compares [[simhashPairs]] against,
+    * and the measured-cheaper path for corpora KNOWN to be pre-deduplicated
+    * (the collapse's rep aggregation + expansion joins are pure overhead
+    * when every doc is its own representative — ~0.7–1.0 s of the 2.6 s
+    * sf0.1 row, see BENCH.md round 7). Quadratic through the candidate
+    * shuffle on duplicate groups — NEVER use on raw crawl data.
     */
-  private[graft] def simhashPairsDirect(docs: DataFrame, maxDist: Int = 3): DataFrame = {
+  def simhashPairsDirect(docs: DataFrame, maxDist: Int = 3): DataFrame = {
     val chunks = maxDist + 1
     val width = SimhashBits / chunks
     val fp = simhash(docs)
