@@ -1288,6 +1288,25 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       DocOps.sourceReport(docs).collect().toSet)
     assert(spark.read.parquet(s"$work/rep/quantiles").collect().toSet ===
       DocOps.sourceQuantiles(docs).collect().toSet)
+
+    // clean: kept = docs the verdict keeps, original rows intact
+    graft.DocJob.run(spark, Array("clean", s"$work/docs", s"$work/clean"))
+    val verdict = spark.read.parquet(s"$work/clean/verdict")
+    val kept = spark.read.parquet(s"$work/clean/kept")
+    assert(verdict.count() === docs.count())
+    assert(kept.count() ===
+      verdict.where(org.apache.spark.sql.functions.col("kept")).count())
+    assert(kept.columns.sorted === docs.columns.sorted)
+
+    // decontam: output schema is the excision shape, row per corpus doc
+    docs.limit(20).select("doc_id", "text").write.parquet(s"$work/eval")
+    graft.DocJob.run(spark,
+      Array("decontam", s"$work/docs", s"$work/eval", s"$work/decon"))
+    assert(spark.read.parquet(s"$work/decon").count() === docs.count())
+
+    // pack: assignment row per doc at the given budget
+    graft.DocJob.run(spark, Array("pack", s"$work/docs", s"$work/pack", "512"))
+    assert(spark.read.parquet(s"$work/pack").count() === docs.count())
   }
 
   test("keepersByQuality: component representative moves to the quality argmax") {
