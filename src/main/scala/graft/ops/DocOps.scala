@@ -1470,11 +1470,12 @@ object DocOps {
     * offset + local_rank ≤ K. Spec-asserted ≡ the direct single-window
     * formulation; the oracle replays that direct form in SQL.
     */
-  def capPerSource(docs: DataFrame, k: Int, nBuckets: Int = 32): DataFrame = {
+  def capPerSource(docs: DataFrame, k: Int, nBuckets: Int = 32,
+                   broadcastOffsets: Boolean = true): DataFrame = {
     require(k >= 0, s"k must be >= 0: $k")
     val h = md5Hash60(concat(lit("cap:"), col("doc_id").cast("string")))
     twoPhaseRank(docs.select(col("doc_id"), col("source").as("grp"),
-        h.as("rk_h")), nBuckets)
+        h.as("rk_h")), nBuckets, broadcastOffsets)
       .where(col("rank") <= k.toLong)
       .select(col("doc_id"), col("grp").as("source"), col("rank").as("cap_rank"))
   }
@@ -1485,11 +1486,20 @@ object DocOps {
     * rank key's own top bits range-bucket its order (bucket = rk_h >>
     * (60 − log₂ nBuckets) is monotone in rk_h, so bucket order refines
     * key order); (grp, bucket) windows rank locally with
-    * nGroups·nBuckets-way parallelism, and a tiny count table prefix-sums
-    * into per-bucket offsets broadcast back: rank = offset + local rank.
+    * nGroups·nBuckets-way parallelism, and a count table prefix-sums into
+    * per-bucket offsets joined back: rank = offset + local rank.
     * Input (doc_id, grp, rk_h); output + `rank` (1-based).
+    *
+    * `broadcastOffsets`: with a bounded group key (~20 sources, N shards)
+    * the nGroups·nBuckets offset table broadcasts (default). For
+    * UNBOUNDED group cardinality (per-domain caps on a crawl — millions
+    * of groups) pass false: the offsets join becomes an ordinary
+    * shuffle join on (grp, bkt) — rows are (grp, long, long), never text —
+    * and the offsets window itself stays a per-group pass over ≤nBuckets
+    * rows. Equality with the broadcast path is spec-asserted.
     */
-  private def twoPhaseRank(d: DataFrame, nBuckets: Int): DataFrame = {
+  private def twoPhaseRank(d: DataFrame, nBuckets: Int,
+                           broadcastOffsets: Boolean = true): DataFrame = {
     require(nBuckets >= 1 && (nBuckets & (nBuckets - 1)) == 0 &&
       nBuckets <= (1 << 20), s"nBuckets must be a power of two: $nBuckets")
     import org.apache.spark.sql.expressions.Window
@@ -1505,7 +1515,8 @@ object DocOps {
           .orderBy(col("bkt"))
           .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
       .select(col("grp"), col("bkt"), col("off"))
-    local.join(broadcast(offsets), Seq("grp", "bkt"))
+    local.join(if (broadcastOffsets) broadcast(offsets) else offsets,
+        Seq("grp", "bkt"))
       .withColumn("rank", col("off") + col("lr"))
   }
 

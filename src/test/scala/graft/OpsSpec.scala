@@ -1204,6 +1204,9 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     for (b <- Seq(1, 4, 32))
       assert(rows(DocOps.capPerSource(d, k = 20, nBuckets = b)
         .select("doc_id", "source", "cap_rank")) === rows(direct), s"nBuckets=$b")
+    // the unbounded-cardinality path (shuffle-joined offsets) is equal too
+    assert(rows(DocOps.capPerSource(d, k = 20, broadcastOffsets = false)
+      .select("doc_id", "source", "cap_rank")) === rows(direct))
     // k beyond the group size keeps everything, ranks a permutation of 1..n
     val all = DocOps.capPerSource(d, k = 1000).collect()
     assert(all.length === 400)
