@@ -462,6 +462,10 @@ object SparkEntry {
         DocOps.vocabulary(docs(s, dir), minDf = 2, maxSize = 25))
         .orderBy("doc_id")),
 
+    // integer-exact bigram LM counts (round 7), floored at count ≥ 3
+    "doc_bigrams" -> ((s, dir) =>
+      DocOps.ngramCounts(docs(s, dir), n = 2, minCount = 3).orderBy("gram")),
+
     // PII scrubbing: counts + deterministic redaction chain (round 5)
     "doc_pii_scrub" -> ((s, dir) =>
       DocOps.piiScrub(docs(s, dir)).orderBy("doc_id")),
@@ -991,6 +995,11 @@ object SparkEntry {
     // OOV: integer token/miss counts; the rate is one int/int IEEE divide
     "doc_oov" ->
       """WITH toks AS (SELECT doc_id, word FROM (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS word FROM documents) t WHERE length(word) > 0), tf AS (SELECT word, doc_id, count(*) AS c FROM toks GROUP BY word, doc_id), v AS (SELECT word, CAST(sum(c) AS BIGINT) AS tf, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY word HAVING count(*) >= 2), r AS (SELECT word, CAST(row_number() OVER (ORDER BY tf DESC, word) AS BIGINT) AS rank FROM v), vocab AS (SELECT word FROM r WHERE rank <= 25) SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens, CAST(sum(CASE WHEN vocab.word IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov, CAST(sum(CASE WHEN vocab.word IS NULL THEN 1 ELSE 0 END) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS oov_frac FROM toks LEFT JOIN vocab ON toks.word = vocab.word GROUP BY doc_id ORDER BY doc_id""",
+
+    // bigram counts replayed via the proven carry-the-array unnest(range)
+    // pattern; 1-based inclusive slice ws[i+1 : i+2] = the 2-word window
+    "doc_bigrams" ->
+      """WITH w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws FROM documents WHERE length(trim(text)) > 0), e AS (SELECT doc_id, ws, unnest(range(len(ws) - 1)) AS i FROM w WHERE len(ws) >= 2), g AS (SELECT doc_id, array_to_string(ws[CAST(i + 1 AS INT):CAST(i + 2 AS INT)], ' ') AS gram FROM e) SELECT gram, CAST(count(*) AS BIGINT) AS c, CAST(count(DISTINCT doc_id) AS BIGINT) AS df FROM g GROUP BY gram HAVING count(*) >= 3 ORDER BY gram""",
 
     // exact quantiles: same histogram + cumulative window + smallest-value-
     // reaching-target selection; window sums CAST to BIGINT (HUGEINT)

@@ -1641,6 +1641,32 @@ object DocOps {
       row_number().over(Window.orderBy(col("tf").desc, col("word"))).cast("long"))
   }
 
+  /** Corpus n-gram counts — the integer-exact counts table an n-gram
+    * LM / KenLM-style filter trains from: every n-word window (WITH
+    * multiplicity, unlike [[shingles]]' distinct sets), its total
+    * occurrence count and document frequency, floored at minCount. All
+    * outputs are integers — no probabilities here, because cross-engine
+    * log/exp are not correctly rounded; consumers derive them.
+    *
+    * 100-TB shape: the window expansion is a map-side HOF (one output row
+    * per input token), and the count table is ONE partial-agg shuffle
+    * keyed on the gram — identical shape to the word-count trunk of
+    * [[vocabulary]]. The minCount floor prunes the long tail before it is
+    * ever written.
+    */
+  def ngramCounts(docs: DataFrame, n: Int = 2, minCount: Long = 2): DataFrame = {
+    require(n >= 1 && minCount >= 1, s"bad params: n=$n minCount=$minCount")
+    val w = split(trim(col("text")), "\\s+")
+    val grams = when(length(trim(col("text"))) === 0 || size(w) < n,
+        typedLit(Array.empty[String]))
+      .otherwise(transform(sequence(lit(0), size(w) - n),
+        i => array_join(slice(w, i + 1, lit(n)), " ")))
+    docs.select(col("doc_id"), explode(grams).as("gram"))
+      .groupBy(col("gram"))
+      .agg(count(lit(1)).as("c"), countDistinct(col("doc_id")).as("df"))
+      .where(col("c") >= minCount)
+  }
+
   /** Per-doc out-of-vocabulary rate against a [[vocabulary]] table — the
     * "will my tokenizer shred this document" filter signal. Counts are
     * integers; the rate is one int/int IEEE division (bit-exact in any

@@ -1360,6 +1360,26 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       "a\n\nb\n\n\nc \n\n d")
   }
 
+  test("ngramCounts: multiplicity-true windows, count floor, short-doc guard") {
+    val s = spark
+    import s.implicits._
+    val d = Seq(
+      (1L, "a b a b a"),    // bigrams: "a b"×2, "b a"×2
+      (2L, "a b c"),        // "a b", "b c"
+      (3L, "solo"),         // < n words → no grams
+      (4L, "")).toDF("doc_id", "text")
+    val out = DocOps.ngramCounts(d, n = 2, minCount = 1).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out === Map("a b" -> (3L, 2L), "b a" -> (2L, 1L), "b c" -> (1L, 1L)))
+    // the floor prunes the tail
+    assert(DocOps.ngramCounts(d, n = 2, minCount = 2).collect()
+      .map(_.getString(0)).sorted.toSeq === Seq("a b", "b a"))
+    // trigrams
+    assert(DocOps.ngramCounts(d, n = 3, minCount = 1).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap ===
+      Map("a b a" -> 2L, "b a b" -> 1L, "a b c" -> 1L))
+  }
+
   test("vocabulary: df floor + deterministic top-V cut; OOV counts tokens, not types") {
     val s = spark
     import s.implicits._
