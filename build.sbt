@@ -31,11 +31,24 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "32g")}",
-  // batch-throughput GC: the object stage allocates heavily; ParallelGC
-  // beats G1 for this all-cores batch shape
-  s"-XX:+${sys.env.getOrElse("SPARK_GRAFT_GC", "UseParallelGC")}",
+  // GC default switched ParallelGC → G1 in round 8: with the 32 GiB heap
+  // and the suite's allocation rate, ParallelGC old-gen fills during a
+  // bench session and multi-second stop-the-world FULL collections land
+  // mid-stage (measured: one 32-task stage charged 260 s of summed GC —
+  // the mechanism behind the r6/r7 "host drift" outliers on suite rows).
+  // G1 has no stop-the-world full GC in normal operation, and the round-8
+  // interleaved A/B showed its batch throughput is no longer behind
+  // ParallelGC on this workload (extract best-of-3: 0.448 s G1 vs 0.466 s
+  // ParallelGC vs 0.461 s ParallelGC+NewRatio=1, same-window alternation).
+  // Still parameterized: SPARK_GRAFT_GC=UseParallelGC restores the old
+  // collector; SPARK_GRAFT_GC_EXTRA adds arbitrary flags.
+  s"-XX:+${sys.env.getOrElse("SPARK_GRAFT_GC", "UseG1GC")}",
   // Catalyst codegen emits classes per plan; the default 240MB code cache
   // fills over a multi-session benchmark run and the JIT silently stops
   // compiling (5-50x slowdowns on later queries)
   "-XX:ReservedCodeCacheSize=1g",
-)
+) ++
+  // extra JVM flags for GC experiments (space-separated), e.g.
+  // SPARK_GRAFT_GC_EXTRA="-XX:NewRatio=1"
+  sys.env.get("SPARK_GRAFT_GC_EXTRA").toSeq
+    .flatMap(_.split("\\s+").toSeq).filter(_.nonEmpty)

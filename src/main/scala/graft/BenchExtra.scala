@@ -1,0 +1,222 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.ops.{CacheLedger, DocOps, VectorOps}
+
+/** Dev-only optimization-round harness (round 8). NOT part of the driver
+  * contract — `Bench.scala` stays the frozen measurement surface; this main
+  * exists so per-query / per-phase measurements and plan dumps can be taken
+  * without touching it (guide §1.4: noop-sink isolation; §1.5: labels).
+  *
+  *   runMain graft.BenchExtra suite <sfDir> [q ...]   best-of-2 per query,
+  *                                                    same session + sink as
+  *                                                    the Bench ops suite
+  *   runMain graft.BenchExtra phases <sfDir>          sub-phase timings of
+  *                                                    the dedup trunks
+  *   runMain graft.BenchExtra explain <sfDir> <out> [q ...]
+  *                                                    .explain("formatted")
+  *                                                    of each suite query to
+  *                                                    <out>/<q>.txt
+  */
+object BenchExtra {
+
+  /** Same knobs as Bench.session(cpus) (default splits): the measurements
+    * here must be comparable to the frozen bench's.
+    */
+  private def session(cores: Int): SparkSession = {
+    val b0 = SparkSession.builder()
+      .master(s"local[$cores]")
+      .appName(s"graft-benchextra-$cores")
+      .config("spark.sql.shuffle.partitions", cores.toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+    // A/B hook for config experiments: EXTRA_CONF="k=v;k2=v2"
+    val b = sys.env.get("EXTRA_CONF").map(_.split(";").filter(_.nonEmpty))
+      .getOrElse(Array.empty[String])
+      .foldLeft(b0) { (acc, kv) =>
+        val Array(k, v) = kv.split("=", 2); acc.config(k, v)
+      }
+    val s = b.getOrCreate()
+    s.sparkContext.setLogLevel("ERROR")
+    s
+  }
+
+  /** The Bench ops suite, verbatim (extract_bench excluded — it has its own
+    * harness phase in Bench).
+    */
+  private def suite(s: SparkSession, sfDir: String): Seq[(String, () => DataFrame)] = {
+    def docsDf = s.read.parquet(s"$sfDir/documents.parquet")
+    def embDf = s.read.parquet(s"$sfDir/embeddings.parquet")
+    Seq(
+      "doc_near_dups" -> (() => DocOps.nearDups(docsDf, 0.5)),
+      "doc_simhash_pairs" -> (() => DocOps.simhashPairs(docsDf)),
+      "doc_quality" -> (() => DocOps.qualityScore(docsDf)),
+      "vec_cosine_topk" -> (() => VectorOps.cosineTopK(embDf)),
+      "vec_ann_lsh" -> (() => VectorOps.annLsh(embDf, dim = 64)),
+      "vec_ann_ivf" -> (() => VectorOps.annIvf(embDf)),
+      "doc_dedup_keepers" -> (() => DocOps.dedupKeepers(docsDf, 0.5)),
+      "doc_decontam" -> (() => DocOps.decontaminate(docsDf)),
+      "doc_corpus_clean" -> (() => DocOps.cleanCorpus(docsDf)),
+      "q1_agg" -> (() => SparkEntry.queries("q1_agg")(s, sfDir)),
+      "q3_join" -> (() => SparkEntry.queries("q3_join")(s, sfDir)))
+  }
+
+  private def time[A](f: => A): (Double, A) = {
+    val t0 = System.nanoTime()
+    val a = f
+    ((System.nanoTime() - t0) / 1e9, a)
+  }
+
+  private def noop(df: DataFrame): Unit =
+    df.write.format("noop").mode("overwrite").save()
+
+  private def runSuite(sfDir: String, qs: Array[String]): Unit = {
+    val s = session(32)
+    val all = suite(s, sfDir)
+    val picked = if (qs.isEmpty) all else all.filter(q => qs.contains(q._1))
+    // interleaved two passes, min per query — the Bench suite discipline
+    val best = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    for (pass <- 1 to 2; (name, mk) <- picked) {
+      s.sparkContext.setJobDescription(s"extra:$name pass $pass")
+      val (t, _) = time(noop(mk()))
+      CacheLedger.release()
+      best(name) = math.min(best.getOrElse(name, Double.MaxValue), t)
+    }
+    best.foreach { case (n, t) => println(f"EXTRA $n $t%.3f s (best of 2)") }
+    println(f"EXTRA total ${best.values.sum}%.3f s")
+    s.stop()
+  }
+
+  /** Sub-phase isolation of the heavy dedup rows (each phase timed with a
+    * noop sink over a FRESH DataFrame, warm pass first).
+    */
+  private def runPhases(sfDir: String): Unit = {
+    val s = session(32)
+    def docsDf = s.read.parquet(s"$sfDir/documents.parquet")
+    def phase(name: String)(mk: => DataFrame): Unit = {
+      var best = Double.MaxValue
+      for (_ <- 1 to 2) {
+        s.sparkContext.setJobDescription(s"phase:$name")
+        val (t, _) = time(noop(mk))
+        CacheLedger.release()
+        best = math.min(best, t)
+      }
+      println(f"PHASE $name $best%.3f s (best of 2)")
+    }
+    // --- minhash family ---
+    phase("md5_members")(docsDf.select(md5(col("text")).as("g"), col("doc_id")))
+    phase("shingles")(DocOps.shingles(docsDf))
+    phase("minhash_sigs")(DocOps.minhashSignatures(DocOps.shingles(docsDf)))
+    phase("near_dup_edges")(DocOps.nearDupEdges(docsDf, 0.5))
+    phase("keepers_full")(DocOps.dedupKeepers(docsDf, 0.5))
+    // --- simhash family ---
+    phase("simhash_fp")(DocOps.simhash(docsDf))
+    phase("simhash_pairs")(DocOps.simhashPairs(docsDf))
+    // --- decontam ---
+    phase("shingles13")(DocOps.shingles(docsDf, 13))
+    phase("decontam")(DocOps.decontaminate(docsDf))
+    s.stop()
+  }
+
+  /** Job/stage/task accounting per query: wall seconds vs summed task time
+    * vs number of jobs+stages — separates scheduling latency from compute.
+    */
+  private def runJobStats(sfDir: String, qs: Array[String]): Unit = {
+    val s = session(32)
+    import org.apache.spark.scheduler._
+    val jobs = new java.util.concurrent.atomic.AtomicInteger
+    val stages = new java.util.concurrent.atomic.AtomicInteger
+    val tasks = new java.util.concurrent.atomic.AtomicInteger
+    val taskMs = new java.util.concurrent.atomic.AtomicLong
+    val shufWrite = new java.util.concurrent.atomic.AtomicLong
+    s.sparkContext.addSparkListener(new SparkListener {
+      override def onJobStart(j: SparkListenerJobStart): Unit = { jobs.incrementAndGet(); () }
+      override def onStageCompleted(st: SparkListenerStageCompleted): Unit = {
+        stages.incrementAndGet()
+        val m = st.stageInfo.taskMetrics
+        taskMs.addAndGet(m.executorRunTime)
+        shufWrite.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+        if (sys.env.contains("EXTRA_STAGE_DETAIL") && m.executorRunTime > 200)
+          println(f"  STAGE ${st.stageInfo.stageId}%4d run=${m.executorRunTime / 1000.0}%6.2fs " +
+            f"cpu=${m.executorCpuTime / 1e9}%6.2fs gc=${m.jvmGCTime / 1000.0}%5.2fs " +
+            f"deser=${m.executorDeserializeTime / 1000.0}%5.2fs " +
+            f"tasks=${st.stageInfo.numTasks}%3d ${st.stageInfo.name.takeWhile(_ != '\n').take(90)}")
+        ()
+      }
+      override def onTaskEnd(t: SparkListenerTaskEnd): Unit = { tasks.incrementAndGet(); () }
+    })
+    val all = suite(s, sfDir)
+    val picked = if (qs.isEmpty) all else all.filter(q => qs.contains(q._1))
+    for (pass <- 1 to 2; (name, mk) <- picked) {
+      jobs.set(0); stages.set(0); tasks.set(0); taskMs.set(0); shufWrite.set(0)
+      s.sparkContext.setJobDescription(s"stats:$name")
+      val (t, _) = time(noop(mk()))
+      CacheLedger.release()
+      // listener bus is async; give it a beat to drain before reading
+      Thread.sleep(300)
+      if (pass == 2)
+        println(f"STATS $name wall=$t%.2fs jobs=${jobs.get} stages=${stages.get} " +
+          f"tasks=${tasks.get} taskTime=${taskMs.get / 1000.0}%.2fs " +
+          f"shufWrite=${shufWrite.get / 1048576.0}%.1fMB")
+    }
+    s.stop()
+  }
+
+  private def runExplain(sfDir: String, out: String, qs: Array[String]): Unit = {
+    val s = session(32)
+    val all = suite(s, sfDir)
+    val picked = if (qs.isEmpty) all else all.filter(q => qs.contains(q._1))
+    val dir = java.nio.file.Paths.get(out)
+    java.nio.file.Files.createDirectories(dir)
+    picked.foreach { case (name, mk) =>
+      val df = mk()
+      val plan = df.queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode)
+      java.nio.file.Files.writeString(dir.resolve(s"$name.txt"), plan)
+      CacheLedger.release()
+      println(s"EXPLAIN $name -> $out/$name.txt")
+    }
+    s.stop()
+  }
+
+  /** Replicates Bench phase 2a (headline extraction) for GC/config A/B:
+    * small-split session, two warmups, best-of-3 timed forceExtract.
+    */
+  private def runExtract(): Unit = {
+    val s = SparkSession.builder()
+      .master("local[32]")
+      .appName("graft-benchextra-extract")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.files.maxPartitionBytes", (64 << 10).toString)
+      .config("spark.sql.files.openCostInBytes", (16 << 10).toString)
+      .getOrCreate()
+    s.sparkContext.setLogLevel("ERROR")
+    def force(path: String): Long =
+      graft.pipeline.Extract.extract(graft.pipeline.Extract.readTranscripts(s, path))
+        .toDF().agg(count(lit(1)),
+          sum(length(coalesce(col("md"), lit("")))),
+          sum(size(col("spans")))).collect()(0).getLong(0)
+    force(s"${Bench.RepoRoot}/data/transcripts_t1")
+    force(s"${Bench.RepoRoot}/data/transcripts_bench")
+    val runs = (1 to 3).map(_ => time(force(s"${Bench.RepoRoot}/data/transcripts_bench")))
+    val (t, n) = runs.minBy(_._1)
+    println(f"EXTRACT best=${t}%.3f s tps=${n / t}%.1f all=${runs.map(_._1).map(x => f"$x%.3f").mkString(",")}")
+    s.stop()
+  }
+
+  def main(args: Array[String]): Unit = args.headOption match {
+    case Some("suite")   => runSuite(args(1), args.drop(2))
+    case Some("phases")  => runPhases(args(1))
+    case Some("jobstats") => runJobStats(args(1), args.drop(2))
+    case Some("extract") => runExtract()
+    case Some("explain") => runExplain(args(1), args(2), args.drop(3))
+    case _ =>
+      System.err.println("usage: BenchExtra suite|phases|explain <sfDir> ...")
+  }
+}

@@ -17,7 +17,32 @@ import org.apache.spark.sql.DataFrame
 object CacheLedger {
   private val tracked = new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]()
 
-  private[ops] def track(df: DataFrame): DataFrame = { tracked.add(df); df }
+  /** Let AQE size the output partitioning of cached plans (round 8).
+    *
+    * By default Spark pins `canChangeCachedPlanOutputPartitioning=false`,
+    * so every persisted intermediate materializes with the static
+    * `spark.sql.shuffle.partitions` layout and EVERY downstream scan of it
+    * pays that many tasks — for the rep-level band/membership tables here
+    * (KBs at test scale, doc-count-proportional at 100 TB) that is dozens
+    * of near-empty tasks per branch. With the flag on, AQE coalesces the
+    * cached plan's final stage by actual bytes (guide §2: partitioning
+    * should adapt to data size, not a constant) — correct at every scale,
+    * since a genuinely large cached table keeps advisory-sized partitions.
+    * Applied here because track() is the single chokepoint every op-level
+    * persist flows through; a user's explicit setting is respected.
+    */
+  private def enableAdaptiveCachePartitioning(df: DataFrame): Unit =
+    try {
+      val k = "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning"
+      val s = df.sparkSession
+      if (!s.sparkContext.getConf.contains(k)) s.conf.set(k, "true")
+    } catch { case scala.util.control.NonFatal(_) => }
+
+  private[ops] def track(df: DataFrame): DataFrame = {
+    enableAdaptiveCachePartitioning(df)
+    tracked.add(df)
+    df
+  }
 
   /** Number of currently-tracked (not yet released) intermediates. */
   def trackedCount: Int = tracked.size()

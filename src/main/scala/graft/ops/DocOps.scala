@@ -89,11 +89,29 @@ object DocOps {
 
   /** Exact-Jaccard verification of candidate pairs: intersect shingle sets
     * via join (candidates only), union from per-doc distinct-shingle counts.
+    *
+    * Round 8 (guide §2.3/§3): the verification is CANDIDATE-proportional
+    * end to end — the shingle stream is first restricted to candidate docs
+    * by one semi-join (candidate ids are tiny and broadcast), and that
+    * slice is persisted once; the per-doc counts, and both sides of the
+    * intersection join, then read the slice instead of making three full
+    * passes (two joins + a counts aggregation) over the corpus-wide
+    * shingle table. Per-doc totals are unchanged by the restriction (a
+    * candidate doc keeps ALL its shingles), so the output is identical.
     */
-  def verifyJaccard(candidates: DataFrame, sh: DataFrame, tau: Double): DataFrame = {
-    val counts = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    val shA = sh.select(col("doc_id").as("doc_a"), col("s"))
-    val shB = sh.select(col("doc_id").as("doc_b"), col("s"))
+  def verifyJaccard(candidates0: DataFrame, sh: DataFrame, tau: Double): DataFrame = {
+    // three consumers (both candIds sides + the intersection join) — persist
+    // the tiny pair set instead of re-running the band self-join per branch
+    val candidates = CacheLedger.track(
+      candidates0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val candIds = candidates.select(col("doc_a").as("doc_id"))
+      .union(candidates.select(col("doc_b").as("doc_id"))).distinct()
+    val shC = CacheLedger.track(
+      sh.join(candIds, Seq("doc_id"), "left_semi")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val counts = shC.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val shA = shC.select(col("doc_id").as("doc_a"), col("s"))
+    val shB = shC.select(col("doc_id").as("doc_b"), col("s"))
     val pairInter = candidates.join(shA, Seq("doc_a")).join(shB, Seq("doc_b", "s"))
       .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("i"))
     pairInter
@@ -338,24 +356,26 @@ object DocOps {
   private[graft] def md5Hash60(c: Column): Column =
     conv(substring(md5(c), 1, 15), 16, 10).cast("long")
 
-  /** 60-bit SimHash over word unigrams weighted by term frequency. Pure
-    * aggregation: per bit, sum +tf when the word-hash bit is 1 else -tf.
+  /** 60-bit SimHash over word unigrams weighted by term frequency.
+    *
+    * Round 8: a pure PROJECTION — the per-row codegen kernel
+    * [[graft.functions.SimhashWords]] folds the whole word loop (md5Hash60
+    * per word, ±1 per bit per occurrence, sign threshold) into one pass
+    * over each row's own words. The round-2→7 formulation exploded the
+    * corpus token stream and shuffled it TWICE (groupBy(doc_id, word) for
+    * tf, then a 60-sum-column groupBy(doc_id)) to compute a value that
+    * never needs cross-row data; per-occurrence ±1 sums equal the
+    * per-distinct-word ±tf sums exactly (integer arithmetic), so the
+    * fingerprints are bit-identical (spec-asserted vs the aggregation
+    * formulation; `doc_simhash_*` oracles unchanged). The guard keeps the
+    * old row contract: a null text produced no explode rows, so it yields
+    * no fingerprint row here either.
     */
-  def simhash(docs: DataFrame): DataFrame = {
-    val wordTf = docs
-      .select(col("doc_id"), explode(split(trim(col("text")), "\\s+")).as("word"))
-      .groupBy(col("doc_id"), col("word")).agg(count(lit(1)).as("tf"))
-      .withColumn("h", md5Hash60(col("word")))
-    val bitSums = (0 until SimhashBits).map { i =>
-      sum(when(shiftright(col("h"), i).bitwiseAND(lit(1L)) === 1L, col("tf"))
-        .otherwise(-col("tf"))).as(s"b$i")
-    }
-    val agg = wordTf.groupBy(col("doc_id")).agg(bitSums.head, bitSums.tail: _*)
-    val fp = (0 until SimhashBits).map { i =>
-      when(col(s"b$i") > 0, shiftleft(lit(1L), i)).otherwise(lit(0L))
-    }.reduce[Column](_.bitwiseOR(_))
-    agg.select(col("doc_id"), fp.as("simhash"))
-  }
+  def simhash(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+        graft.functions.SimhashWords.simhash_words(
+          split(trim(col("text")), "\\s+")).as("simhash"))
+      .where(col("simhash").isNotNull)
 
   /** Shared trunk of [[simhashPairs]] and [[simhashEdges]] (round 7 —
     * the same duplicate-group hardening [[nearDupCore]] got in round 2,
@@ -1913,6 +1933,50 @@ object DocOps {
       .select(col("doc_id"), coalesce(col("l1"), col("l0")).as("keeper_doc_id"))
   }
 
+  /** Label DELTA of an incremental append (round 8) — the I/O-layer
+    * companion of [[keepersFromEdgesIncremental]]: instead of the full
+    * keeper table for ALL docs, emit rows ONLY for
+    *  - the appended docs (label = their component min, self if isolated),
+    *  - previously-labeled docs whose component MERGED (old root relabeled).
+    *
+    * Resolving a chain of these deltas newest-row-wins (per doc_id, the
+    * highest version's row — [[graft.streaming.DedupStream.readLabels]])
+    * reproduces [[keepersFromEdgesIncremental]]'s full table exactly
+    * (spec-asserted): unaffected old docs keep their earlier rows, and the
+    * delta's two classes are precisely the rows the full recompute would
+    * change. This is what makes per-batch state WRITES batch-incident
+    * (O(batch + affected components)) instead of corpus-proportional.
+    *
+    * Same exact-contraction argument as [[keepersFromEdgesIncremental]]:
+    * `labels0` maps every old doc to its component MINIMUM, so the star
+    * fixpoint over the contracted graph yields true merged-component
+    * minima, and an old doc's label changes iff its old root's does.
+    */
+  def keepersDeltaIncremental(newDocIds: DataFrame, labels0: DataFrame,
+                              newEdges: DataFrame,
+                              maxIters: Int = 25): DataFrame = {
+    val ce = contractEdges(labels0, newEdges)
+      .localCheckpoint(true)
+    val adj = ce.union(
+      ce.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+    val (relabel, _) = componentLabels(adj, maxIters)
+    // appended docs: edge-touched ones are contracted-graph nodes under
+    // their own id (they have no labels0 entry), isolated ones label self
+    val newLab = newDocIds.select(col("doc_id"))
+      .join(relabel, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("label"), col("doc_id")).as("keeper_doc_id"))
+    // old docs change label iff their old root was relabeled to a smaller
+    // merged-component minimum
+    val changedRoots = relabel.where(col("label") =!= col("doc_id"))
+      .select(col("doc_id").as("keeper_doc_id"), col("label"))
+    val oldLab = labels0.select(col("doc_id"), col("keeper_doc_id"))
+      .join(changedRoots, Seq("keeper_doc_id"))
+      .select(col("doc_id"), col("label").as("keeper_doc_id"))
+    // appended ids are new to the state, so the union is disjoint
+    newLab.union(oldLab)
+  }
+
   /** Connected-component labels over an undirected adjacency table (both
     * edge directions present) via ALTERNATING LARGE-STAR / SMALL-STAR — the
     * canonical MapReduce CC algorithm (Kiveris et al., "Connected
@@ -1943,18 +2007,24 @@ object DocOps {
     */
   private[graft] def componentLabels(adj: DataFrame,
                                      maxIters: Int): (DataFrame, Int) = {
-    import org.apache.spark.sql.GraftColumnBridge.localCheckpointStatsFresh
+    import org.apache.spark.sql.GraftColumnBridge.localCheckpointStatsFreshLazy
     // the fixpoint iterates ONLY over edge-touched nodes — O(|E|) per
     // round, not O(N): at corpus scale near-dups are a small fraction of
     // documents, and the isolated majority trivially keeps keeper=self
     // (joined back once by the caller)
     val nodes = adj.select(col("doc_a").as("doc_id")).distinct()
-    // canonical undirected edge set: (hi, lo) with hi > lo, no self loops
-    var e = localCheckpointStatsFresh(
+    // canonical undirected edge set: (hi, lo) with hi > lo, no self loops.
+    // Round 8: checkpoints in the loop are LAZY (plan still truncated to a
+    // LogicalRDD leaf each round, so the plan-doubling and stats-inflation
+    // rules in the scaladoc above still hold) — each round's ONE checksum
+    // aggregate materializes the round's edge set as a side effect, where
+    // the eager form paid two checkpoint jobs PLUS the checksum job per
+    // round. Multiple references to a lazy leaf are safe: one RDD means
+    // each shuffle dependency is scheduled once per shuffle id.
+    var e = localCheckpointStatsFreshLazy(
       adj.where(col("doc_a") > col("doc_b"))
         .select(col("doc_a").as("hi"), col("doc_b").as("lo")).distinct())
     var it = 0
-    var converged = e.limit(1).count() == 0L // edge-free corpus
     // cheap per-round convergence signal: (count, sum of row hashes) — one
     // aggregate, no join. A checksum match is CONFIRMED with a real
     // set-equality (exceptAll) before terminating, so a hash-sum collision
@@ -1964,30 +2034,35 @@ object DocOps {
         sum(xxhash64(col("hi"), col("lo")).cast("decimal(38,0)"))).collect()(0)
       (r.getLong(0), if (r.isNullAt(1)) java.math.BigDecimal.ZERO else r.getDecimal(1))
     }
-    var prevChk = if (converged) null else checksum(e)
+    // the initial checksum doubles as the edge-free-corpus check and as
+    // the materializing action of the initial checkpoint (was a separate
+    // limit(1).count job)
+    var prevChk = checksum(e)
+    var converged = prevChk._1 == 0L
     while (!converged && it < maxIters) {
       // ---- large-star ----
       val a = e.select(col("hi").as("u"), col("lo").as("v"))
         .union(e.select(col("lo").as("u"), col("hi").as("v")))
       val m = a.groupBy(col("u")).agg(min(col("v")).as("mv"))
         .select(col("u"), least(col("mv"), col("u")).as("m"))
-      val eL = localCheckpointStatsFresh(
+      val eL = localCheckpointStatsFreshLazy(
         a.join(m, "u").where(col("v") > col("u"))
           .select(col("v").as("hi"), col("m").as("lo"))
           .where(col("hi") > col("lo")).distinct())
       // ---- small-star ----
       val aMinus = eL.select(col("hi").as("u"), col("lo").as("v"))
       val m2 = aMinus.groupBy(col("u")).agg(min(col("v")).as("m"))
-      val eNew = localCheckpointStatsFresh(
+      val eNew = localCheckpointStatsFreshLazy(
         aMinus.join(m2, "u").where(col("v") =!= col("m"))
           .select(col("v").as("hi"), col("m").as("lo"))
           .union(m2.select(col("u").as("hi"), col("m").as("lo")))
           .where(col("hi") > col("lo")).distinct())
       // converged when a full (large; small) pass is the identity — true
-      // exactly at the star fixpoint. Checksum first (one agg); on a
-      // match, confirm with the real set equality once.
+      // exactly at the star fixpoint. The checksum aggregate is the ONE
+      // job of the round (it materializes eL and eNew through their lazy
+      // checkpoints); on a match, confirm with the real set equality once.
       val chk = checksum(eNew)
-      converged = prevChk != null && chk._1 == prevChk._1 &&
+      converged = chk._1 == prevChk._1 &&
         chk._2.compareTo(prevChk._2) == 0 &&
         eNew.exceptAll(e).limit(1).count() == 0L
       prevChk = chk
@@ -1998,12 +2073,14 @@ object DocOps {
       it += 1
     }
     // star set → labels: every non-center appears as hi with its center as
-    // lo (min(lo) guards the maxIters-cutoff case); centers label themselves
+    // lo (min(lo) guards the maxIters-cutoff case); centers label themselves.
+    // No checkpoint here (round 8): the label plan is two leaf-sized nodes
+    // deep and its single consumer joins it exactly once — an eager
+    // materialization bought nothing.
     val starOf = e.groupBy(col("hi").as("doc_id")).agg(min(col("lo")).as("label"))
-    val labels = localCheckpointStatsFresh(
-      nodes.join(starOf, Seq("doc_id"), "left")
-        .select(col("doc_id"),
-          coalesce(col("label"), col("doc_id")).as("label")))
+    val labels = nodes.join(starOf, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("label"), col("doc_id")).as("label"))
     (labels, it)
   }
 }

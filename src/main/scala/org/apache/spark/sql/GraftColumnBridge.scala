@@ -26,8 +26,22 @@ object GraftColumnBridge {
     * is dropped; the checkpointed RDD, partitioning and ordering are
     * reused as-is.
     */
-  def localCheckpointStatsFresh(df: Dataset[Row]): Dataset[Row] = {
-    val ck = df.localCheckpoint(true)
+  def localCheckpointStatsFresh(df: Dataset[Row]): Dataset[Row] =
+    statsFresh(df.localCheckpoint(true))
+
+  /** LAZY variant of [[localCheckpointStatsFresh]] (round 8): the plan is
+    * truncated to a LogicalRDD leaf immediately, but materialization is
+    * deferred to the caller's NEXT action — so a fixpoint loop can fold
+    * the round's materialization into the convergence-check aggregate
+    * (one job per round instead of checkpoint-job + check-job). Safe for
+    * plans referenced more than once before that action: the leaf wraps
+    * ONE RDD, so its shuffle dependencies are scheduled once per shuffle
+    * id, and the local-checkpoint persist caches the final partitions.
+    */
+  def localCheckpointStatsFreshLazy(df: Dataset[Row]): Dataset[Row] =
+    statsFresh(df.localCheckpoint(false))
+
+  private def statsFresh(ck: Dataset[Row]): Dataset[Row] =
     ck.queryExecution.analyzed match {
       case lr: execution.LogicalRDD =>
         val session = ck.sparkSession.asInstanceOf[classic.SparkSession]
@@ -37,5 +51,4 @@ object GraftColumnBridge {
         classic.Dataset.ofRows(session, clean)
       case _ => ck // unexpected shape: fall back to the plain checkpoint
     }
-  }
 }

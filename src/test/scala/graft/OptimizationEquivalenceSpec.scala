@@ -1,0 +1,161 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.DocOps
+
+/** Round-8 optimization equivalence proofs: every operator whose INTERNALS
+  * changed for performance is pinned bit-for-bit against its previous
+  * formulation here (the oracles re-prove the same thing externally).
+  */
+class OptimizationEquivalenceSpec extends AnyFunSuite {
+
+  private lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("opt-equivalence")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.session.timeZone", "UTC")
+    .getOrCreate()
+
+  private def docs: DataFrame =
+    spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+
+  /** The round-2→7 simhash formulation, verbatim: explode the word stream,
+    * per-(doc, word) tf, md5Hash60 per word, 60 tf-weighted bit sums, sign
+    * threshold. The round-8 projection must reproduce it bit-for-bit.
+    */
+  private def simhashReference(d: DataFrame): DataFrame = {
+    val wordTf = d
+      .select(col("doc_id"), explode(split(trim(col("text")), "\\s+")).as("word"))
+      .groupBy(col("doc_id"), col("word")).agg(count(lit(1)).as("tf"))
+      .withColumn("h",
+        conv(substring(md5(col("word")), 1, 15), 16, 10).cast("long"))
+    val bitSums = (0 until DocOps.SimhashBits).map { i =>
+      sum(when(shiftright(col("h"), i).bitwiseAND(lit(1L)) === 1L, col("tf"))
+        .otherwise(-col("tf"))).as(s"b$i")
+    }
+    val agg = wordTf.groupBy(col("doc_id")).agg(bitSums.head, bitSums.tail: _*)
+    val fp = (0 until DocOps.SimhashBits).map { i =>
+      when(col(s"b$i") > 0, shiftleft(lit(1L), i))
+        .otherwise(lit(0L))
+    }.reduce[org.apache.spark.sql.Column](_.bitwiseOR(_))
+    agg.select(col("doc_id"), fp.as("simhash"))
+  }
+
+  private def fpMap(df: DataFrame): Map[Long, Long] =
+    df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("simhash projection ≡ aggregation formulation on the sf0.001 corpus") {
+    val got = fpMap(DocOps.simhash(docs))
+    val want = fpMap(simhashReference(docs))
+    assert(got.size === want.size)
+    assert(got === want)
+  }
+
+  test("simhash projection ≡ aggregation formulation on adversarial rows") {
+    val s = spark
+    import s.implicits._
+    val rows = Seq(
+      1L -> "",                                  // split("") = [""] → md5("")
+      2L -> "   ",                               // trims to "" → [""]
+      3L -> "\ta b\t",                           // trim() strips spaces only: leading \t survives → ["", "a", "b"]
+      4L -> "one",
+      5L -> "a a a a b",                         // tf weighting vs per-occurrence sums
+      6L -> "x y x y",                           // exact ± cancellation → counter 0 → bit clear
+      7L -> "café naïve 中文 中文", // multi-byte UTF-8
+      8L -> "emoji 😀 pair 😀",           // astral (surrogate pair)
+      9L -> "nbsp glued words",             // NBSP is \s in neither engine? (java \s excludes NBSP)
+      10L -> "line\nbreaks\ttabs  doubled spaces",
+      11L -> (1 to 3000).map(i => s"w${i % 7}").mkString(" ")) // heavy tf skew
+      .toDF("doc_id", "text")
+    assert(fpMap(DocOps.simhash(rows)) === fpMap(simhashReference(rows)))
+  }
+
+  test("simhash drops null-text rows exactly like the explode formulation") {
+    val schema = StructType(Seq(StructField("doc_id", LongType, nullable = false),
+      StructField("text", StringType, nullable = true)))
+    val d = spark.createDataFrame(
+      java.util.Arrays.asList(Row(1L, "hello world"), Row(2L, null)), schema)
+    val got = fpMap(DocOps.simhash(d))
+    val want = fpMap(simhashReference(d))
+    assert(got.keySet === Set(1L))
+    assert(got === want)
+  }
+
+  /** The pre-round-8 verifyJaccard, verbatim: three full passes over the
+    * shingle table (counts aggregation + both intersection sides).
+    */
+  private def verifyJaccardReference(candidates: DataFrame, sh: DataFrame,
+                                     tau: Double): DataFrame = {
+    val counts = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val shA = sh.select(col("doc_id").as("doc_a"), col("s"))
+    val shB = sh.select(col("doc_id").as("doc_b"), col("s"))
+    val pairInter = candidates.join(shA, Seq("doc_a")).join(shB, Seq("doc_b", "s"))
+      .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("i"))
+    pairInter
+      .join(counts.select(col("doc_id").as("doc_a"), col("n").as("na")), Seq("doc_a"))
+      .join(counts.select(col("doc_id").as("doc_b"), col("n").as("nb")), Seq("doc_b"))
+      .withColumn("jaccard", col("i") / (col("na") + col("nb") - col("i")))
+      .where(col("jaccard") >= tau)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+  }
+
+  test("verifyJaccard candidate-pruned ≡ full-table formulation") {
+    val sh = DocOps.shingles(docs)
+    // candidate set: real LSH candidates of the corpus, plus a planted
+    // non-near pair (exercises the below-tau path through both forms)
+    val ids = docs.select(col("doc_id")).orderBy(col("doc_id")).limit(2)
+      .collect().map(_.getLong(0))
+    val s = spark
+    import s.implicits._
+    val planted = Seq((ids(0), ids(1))).toDF("doc_a", "doc_b")
+    val cands = DocOps.lshCandidates(
+      DocOps.lshBands(DocOps.minhashSignatures(sh)))
+      .union(planted).distinct()
+    def key(df: DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sorted.toVector
+    val got = key(DocOps.verifyJaccard(cands, sh, 0.5))
+    val want = key(verifyJaccardReference(cands, sh, 0.5))
+    assert(got === want)
+    assert(got.nonEmpty, "corpus should contain verified near-dup pairs")
+    graft.ops.CacheLedger.release()
+  }
+
+  test("keepersDeltaIncremental: delta ∪ labels0 (newest wins) ≡ full incremental relabel") {
+    val s = spark
+    import s.implicits._
+    def words(from: Int, to: Int): String =
+      (from to to).map(i => s"tok$i").mkString(" ")
+    // old corpus: two components {1,2} and {10,11} + isolated 20
+    val old = Seq((1L, words(1, 20)), (2L, words(1, 20)),
+      (10L, words(100, 119)), (11L, words(100, 119)),
+      (20L, words(300, 319))).toDF("doc_id", "text")
+    val labels0 = DocOps.keepersFromEdges(old, DocOps.simhashEdges(old))
+      .localCheckpoint(true)
+    // append: 30 bridges the two old components (identical to 2 and 11 via
+    // two new docs chained), 40 joins nobody
+    val app = Seq((30L, words(1, 20)), (31L, words(100, 119)),
+      (32L, words(300, 319)), (40L, words(500, 519))).toDF("doc_id", "text")
+    val all = old.union(app)
+    val (edges, _) = DocOps.simhashEdgesAppend(DocOps.simhashIndex(old), app)
+    def lab(df: org.apache.spark.sql.DataFrame): Map[Long, Long] =
+      df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val full = lab(DocOps.keepersFromEdgesIncremental(
+      all.select("doc_id"), labels0, edges))
+    val delta = lab(DocOps.keepersDeltaIncremental(
+      app.select("doc_id"), labels0, edges))
+    // delta rows only for appended docs + relabeled old docs
+    assert(delta.keySet.intersect(Set(1L, 2L, 10L, 11L, 20L))
+      .forall(d => full(d) !== lab(labels0)(d)))
+    // resolution: delta overrides labels0, rest unchanged
+    val resolved = lab(labels0) ++ delta
+    assert(resolved === full)
+    // appended docs are always present in the delta
+    assert(Set(30L, 31L, 32L, 40L).subsetOf(delta.keySet))
+    graft.ops.CacheLedger.release()
+  }
+}
