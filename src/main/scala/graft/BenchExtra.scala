@@ -167,12 +167,15 @@ object BenchExtra {
 
   private def runExplain(sfDir: String, out: String, qs: Array[String]): Unit = {
     val s = session(32)
-    val all = suite(s, sfDir)
-    val picked = if (qs.isEmpty) all else all.filter(q => qs.contains(q._1))
+    val bench = suite(s, sfDir).toMap
+    val names = if (qs.nonEmpty) qs.toSeq else bench.keys.toSeq
     val dir = java.nio.file.Paths.get(out)
     java.nio.file.Files.createDirectories(dir)
-    picked.foreach { case (name, mk) =>
-      val df = mk()
+    names.foreach { name =>
+      // bench-suite formulation when the name is in the timed suite;
+      // otherwise the declared SparkEntry query (oracle-only rows)
+      val df = bench.get(name).map(_.apply())
+        .getOrElse(SparkEntry.queries(name)(s, sfDir))
       val plan = df.queryExecution.explainString(
         org.apache.spark.sql.execution.FormattedMode)
       java.nio.file.Files.writeString(dir.resolve(s"$name.txt"), plan)

@@ -138,7 +138,7 @@ object DocOps {
     * whose text shingles at all (≥ k words), like the direct formulation.
     */
   def nearDups(docs: DataFrame, tau: Double = 0.5): DataFrame = {
-    val (members, reps, sh, repPairs) = nearDupCore(docs, tau)
+    val (members, reps, shingledReps, _, repPairs) = nearDupCore(docs, tau)
 
     // expand representative pairs to every (member of A, member of B)
     val repToG = reps.select(col("g"), col("doc_id").as("rep"))
@@ -151,7 +151,7 @@ object DocOps {
         greatest(col("a"), col("b")).as("doc_b"), col("jaccard"))
 
     // identical-doc pairs (J = 1.0), only where the text produces shingles
-    val shingledReps = sh.select(col("doc_id")).distinct()
+    // (shingledReps = the signature agg's key set — no extra shingle pass)
     val dupGroups = reps.where(col("n_members") >= 2)
       .join(shingledReps, Seq("doc_id"), "left_semi")
       .select(col("g"))
@@ -166,10 +166,19 @@ object DocOps {
 
   /** Shared trunk of [[nearDups]] and [[nearDupEdges]]: digest-collapse →
     * shingle representatives → LSH candidates → exact-Jaccard verify.
-    * Returns (members, reps, repShingles, repPairs).
+    * Returns (members, reps, shingledRepIds, repShingles, repPairs).
+    *
+    * Round 8: the SIGNATURE table is the persisted intermediate (one
+    * 128-long row per shingled rep) instead of the 64-rows-per-doc band
+    * table — the band rows are a cheap projection over it, and its doc_id
+    * column doubles as the shingled-rep set both callers previously
+    * recomputed with a full extra pass + distinct over the shingle table
+    * (`sh.select(doc_id).distinct()` ≡ the signature agg's key set: both
+    * are exactly the docs with ≥1 shingle row). One less corpus-wide
+    * aggregation per query (guide §2.4 — keyed operations share a pass).
     */
   private def nearDupCore(docs: DataFrame, tau: Double)
-      : (DataFrame, DataFrame, DataFrame, DataFrame) = {
+      : (DataFrame, DataFrame, DataFrame, DataFrame, DataFrame) = {
     // the (digest, doc_id) membership table is referenced by several
     // branches (reps, both expansion/star sides) — without a persist each
     // branch re-hashes the ENTIRE corpus text; the table itself is
@@ -185,9 +194,17 @@ object DocOps {
 
     val sh = CacheLedger.track(shingles(repDocs)
       .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY))
-    val repPairs =
-      verifyJaccard(lshCandidates(lshBands(minhashSignatures(sh))), sh, tau)
-    (members, reps, sh, repPairs)
+    val sigs = CacheLedger.track(minhashSignatures(sh)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val bands = lshBands(sigs)
+    val a = bands.select(col("band_idx"), col("band_hash"), col("doc_id").as("doc_a"))
+    val b = bands.select(col("band_idx"), col("band_hash"), col("doc_id").as("doc_b"))
+    val candidates = a.join(b, Seq("band_idx", "band_hash"))
+      .where(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"))
+      .distinct()
+    val repPairs = verifyJaccard(candidates, sh, tau)
+    (members, reps, sigs.select(col("doc_id")), sh, repPairs)
   }
 
   /** LINEAR-SIZE edge feed for connected components — same components as
@@ -210,8 +227,7 @@ object DocOps {
     * relation keeps its report contract (per-pair Jaccard) in [[nearDups]].
     */
   def nearDupEdges(docs: DataFrame, tau: Double = 0.5): DataFrame = {
-    val (members, reps, sh, repPairs) = nearDupCore(docs, tau)
-    val shingledReps = sh.select(col("doc_id")).distinct()
+    val (members, reps, shingledReps, _, repPairs) = nearDupCore(docs, tau)
     val starGroups = reps.where(col("n_members") >= 2)
       .join(shingledReps, Seq("doc_id"), "left_semi")
       .select(col("g"), col("doc_id").as("rep"))
@@ -280,10 +296,13 @@ object DocOps {
     val repDocs = newDocs.join(reps.select(col("doc_id")), Seq("doc_id"), "left_semi")
     val shNew = CacheLedger.track(shingles(repDocs)
       .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY))
-    // the ONLY signature/band computation — batch reps, nobody else
-    val newBands = CacheLedger.track(
-      lshBands(minhashSignatures(shNew))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    // the ONLY signature/band computation — batch reps, nobody else.
+    // Round 8: persist the signatures (one row per shingled rep) and band
+    // them by projection — the signature key set doubles as the
+    // shingled-rep set below (was a full extra shNew pass + distinct)
+    val sigsNew = CacheLedger.track(minhashSignatures(shNew)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val newBands = lshBands(sigsNew)
 
     // batch reps probe the union index: (new,new) and (new,old) collisions
     val probe = newBands.select(col("band_idx"), col("band_hash"),
@@ -309,10 +328,9 @@ object DocOps {
     val verified = verifyJaccard(candidates, shVerify, tau)
 
     // star edges for the batch's duplicate groups (shingling gate, as in
-    // nearDupEdges)
-    val shingledReps = shNew.select(col("doc_id")).distinct()
+    // nearDupEdges; the signature key set IS the shingled-rep set)
     val starGroups = reps.where(col("n_members") >= 2)
-      .join(shingledReps, Seq("doc_id"), "left_semi")
+      .join(sigsNew.select(col("doc_id")), Seq("doc_id"), "left_semi")
       .select(col("g"), col("doc_id").as("rep"))
     val star = members.join(starGroups, Seq("g"))
       .where(col("doc_id") =!= col("rep"))
