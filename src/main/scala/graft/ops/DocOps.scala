@@ -104,8 +104,10 @@ object DocOps {
     // the tiny pair set instead of re-running the band self-join per branch
     val candidates = CacheLedger.track(
       candidates0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    // no distinct: a semi-join probe side tolerates duplicates, and the
+    // dedup shuffle would cost more than the duplicate probe rows
     val candIds = candidates.select(col("doc_a").as("doc_id"))
-      .union(candidates.select(col("doc_b").as("doc_id"))).distinct()
+      .union(candidates.select(col("doc_b").as("doc_id")))
     val shC = CacheLedger.track(
       sh.join(candIds, Seq("doc_id"), "left_semi")
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
@@ -320,8 +322,10 @@ object DocOps {
     // exact verify over CANDIDATE docs only: semi-join-prune the corpus,
     // then shingle just those docs (candidate-proportional, the one place
     // old text is touched)
+    // no distinct: a semi-join probe side tolerates duplicates, and the
+    // dedup shuffle would cost more than the duplicate probe rows
     val candIds = candidates.select(col("doc_a").as("doc_id"))
-      .union(candidates.select(col("doc_b").as("doc_id"))).distinct()
+      .union(candidates.select(col("doc_b").as("doc_id")))
     val shVerify = CacheLedger.track(
       shingles(allDocs.join(candIds, Seq("doc_id"), "left_semi"))
         .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY))
@@ -931,15 +935,24 @@ object DocOps {
   def decontamAgainst(corpus: DataFrame, evalDocs: DataFrame,
                       k: Int = DecontamK,
                       broadcastEval: Boolean = true): DataFrame = {
+    // Round 8: ONE pass over the corpus shingle stream. The previous form
+    // ran the k-gram explode twice — once for per-doc totals, once for the
+    // eval semi-join — i.e. the single most expensive map stage of the
+    // pipeline (string construction over ~k× the corpus bytes) twice. A
+    // LEFT join against the distinct eval shingles tags each occurrence
+    // instead, and one aggregation counts total + tagged together: counts
+    // identical (the eval side is distinct on s, so the left join is
+    // row-preserving and the tagged count equals the semi-join count).
     val evalSh0 = shingles(evalDocs, k).select(col("s")).distinct()
+      .withColumn("__in_eval", lit(true))
     val evalSh = if (broadcastEval) broadcast(evalSh0) else evalSh0
     val sh = shingles(corpus, k)
-    val totals = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
-    val flagged = sh.join(evalSh, Seq("s"), "left_semi")
-      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_con"))
+    val stats = sh.join(evalSh, Seq("s"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_sh"),
+        sum(when(col("__in_eval"), 1L).otherwise(0L)).as("n_con"))
     corpus.select(col("doc_id"))
-      .join(totals, Seq("doc_id"), "left")
-      .join(flagged, Seq("doc_id"), "left")
+      .join(stats, Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("n_sh"), lit(0L)).as("n_shingles"),
         coalesce(col("n_con"), lit(0L)).as("n_contaminated"))

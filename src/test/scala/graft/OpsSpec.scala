@@ -299,14 +299,20 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     // 15-word leak run — 15 - 13 + 1 = 3 of doc 1's 20 - 12 = 8 shingles
     assert(r(1L).getLong(1) === 8L && r(1L).getLong(2) === 3L)
     // scale shape: the eval shingle set broadcasts, so the CORPUS shingle
-    // stream joins map-side (a LeftSemi BroadcastHashJoin on s). The only
-    // shuffle on a shingle column is the EVAL side's own distinct —
-    // benchmark-sized, under the BroadcastExchange.
+    // stream joins map-side (a BroadcastHashJoin on s — round 8 made it a
+    // row-preserving LEFT join so one pass tags AND counts, instead of a
+    // semi-join pass plus a second totals pass). The only shuffle on a
+    // shingle column is the EVAL side's own distinct — benchmark-sized,
+    // under the BroadcastExchange.
     val plan = DocOps.decontamAgainst(corpus, evalDocs)
       .queryExecution.executedPlan.toString
-    val semiLine = plan.linesIterator
-      .find(l => l.contains("BroadcastHashJoin [s#") && l.contains("LeftSemi"))
-    assert(semiLine.nonEmpty, plan)
+    val bcastLine = plan.linesIterator
+      .find(l => l.contains("BroadcastHashJoin [s#"))
+    assert(bcastLine.nonEmpty, plan)
+    // exactly one corpus-side shingle pass: the k-gram Generate appears
+    // once below the join (the pre-r8 two-pass form had two)
+    assert(plan.linesIterator.count(_.contains("Generate explode")) === 2,
+      plan) // one corpus explode + one eval-side explode
     // holdout split: deterministic, disjoint, exhaustive
     val ev = DocOps.evalSplit(docs)
     val evIds = ev.select("doc_id").collect().map(_.getLong(0)).toSet
