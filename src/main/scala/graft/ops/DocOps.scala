@@ -27,16 +27,23 @@ object DocOps {
 
   // ------------------------------------------------------------ shingling
 
-  /** Distinct k-word shingles per doc: (doc_id, s). Pure codegen HOFs. */
+  /** Distinct k-word shingles per doc: (doc_id, s).
+    *
+    * Round 8: the window expansion is the compiled
+    * [[graft.functions.ShingleStrings]] kernel — the previous
+    * `transform(sequence, i → concat_ws(slice))` + `array_distinct` chain
+    * ran interpreted per window (HOFs are CodegenFallback) with a fresh
+    * slice array per shingle; identical strings, identical
+    * first-occurrence order (equivalence spec).
+    */
   def shingles(docs: DataFrame, k: Int = 3): DataFrame = {
     val words = split(trim(col("text")), "\\s+")
     docs
       .select(col("doc_id"), words.as("w"))
       .where(size(col("w")) >= k)
       .select(col("doc_id"),
-        explode(array_distinct(transform(
-          sequence(lit(1), size(col("w")) - (k - 1)),
-          i => concat_ws(" ", slice(col("w"), i, lit(k)))))).as("s"))
+        explode(graft.functions.ShingleStrings
+          .shingle_strings(col("w"), k, distinct = true)).as("s"))
   }
 
   // ------------------------------------------------------------ MinHash LSH
@@ -772,8 +779,8 @@ object DocOps {
     def gramTf(n: Int): DataFrame = docs
       .where(length(trim(col("text"))) > 0 && size(words) >= n)
       .select(col("doc_id"),
-        explode(transform(sequence(lit(1), size(words) - (n - 1)),
-          i => concat_ws(" ", slice(words, i, lit(n))))).as("g"))
+        explode(graft.functions.ShingleStrings
+          .shingle_strings(words, n, distinct = false)).as("g"))
       .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("tf"))
     def topChars(n: Int): DataFrame = {
       val w = Window.partitionBy(col("doc_id"))
@@ -986,9 +993,8 @@ object DocOps {
       .select(col("doc_id"), words.as("w"))
       .where(size(col("w")) >= k)
       .select(col("doc_id"),
-        posexplode(transform(
-          sequence(lit(1), size(col("w")) - (k - 1)),
-          i => concat_ws(" ", slice(col("w"), i, lit(k))))).as(Seq("pos", "s")))
+        posexplode(graft.functions.ShingleStrings
+          .shingle_strings(col("w"), k, distinct = false)).as(Seq("pos", "s")))
   }
 
   /** Span-level decontamination detail (round 6) — WHICH parts of a doc
@@ -1710,8 +1716,8 @@ object DocOps {
     val w = split(trim(col("text")), "\\s+")
     val grams = when(length(trim(col("text"))) === 0 || size(w) < n,
         typedLit(Array.empty[String]))
-      .otherwise(transform(sequence(lit(0), size(w) - n),
-        i => array_join(slice(w, i + 1, lit(n)), " ")))
+      .otherwise(graft.functions.ShingleStrings
+        .shingle_strings(w, n, distinct = false))
     docs.select(col("doc_id"), explode(grams).as("gram"))
       .groupBy(col("gram"))
       .agg(count(lit(1)).as("c"), countDistinct(col("doc_id")).as("df"))

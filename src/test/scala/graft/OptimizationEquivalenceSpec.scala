@@ -125,6 +125,34 @@ class OptimizationEquivalenceSpec extends AnyFunSuite {
     graft.ops.CacheLedger.release()
   }
 
+  test("ShingleStrings kernel ≡ transform/slice/concat_ws (+array_distinct) formulation") {
+    import graft.functions.ShingleStrings.shingle_strings
+    val s = spark
+    import s.implicits._
+    val rows = docs.select(col("doc_id"), col("text"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq ++ Seq(
+      (9001L, "a b c d e"),
+      (9002L, "x x x x x x"),              // duplicate shingles → distinct path
+      (9003L, "one two three"),            // exactly k words
+      (9004L, "short two"),                // below k (caller-guarded, still compared)
+      (9005L, "café 中文 😀 naïve x"), // multi-byte + astral
+      (9006L, "a b c d e f"))         // NBSP inside a "word"
+    val d = rows.toDF("doc_id", "text")
+    for (k <- Seq(2, 3, 13); distinct <- Seq(true, false)) {
+      val words = split(trim(col("text")), "\\s+")
+      val ref0 = transform(sequence(lit(1), size(words) - (k - 1)),
+        i => concat_ws(" ", slice(words, i, lit(k))))
+      val ref = if (distinct) array_distinct(ref0) else ref0
+      val got = d.where(size(words) >= k)
+        .select(col("doc_id"), shingle_strings(words, k, distinct).as("a"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+      val want = d.where(size(words) >= k)
+        .select(col("doc_id"), ref.as("a"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+      assert(got === want, s"k=$k distinct=$distinct")
+    }
+  }
+
   test("keepersDeltaIncremental: delta ∪ labels0 (newest wins) ≡ full incremental relabel") {
     val s = spark
     import s.implicits._
