@@ -158,16 +158,19 @@ class OptimizationEquivalenceSpec extends AnyFunSuite {
     import s.implicits._
     def words(from: Int, to: Int): String =
       (from to to).map(i => s"tok$i").mkString(" ")
-    // old corpus: two components {1,2} and {10,11} + isolated 20
-    val old = Seq((1L, words(1, 20)), (2L, words(1, 20)),
-      (10L, words(100, 119)), (11L, words(100, 119)),
-      (20L, words(300, 319))).toDF("doc_id", "text")
+    // old corpus: two components {10,11} (root 10) and {21,22} (root 21)
+    // + isolated 30
+    val old = Seq((10L, words(1, 20)), (11L, words(1, 20)),
+      (21L, words(100, 119)), (22L, words(100, 119)),
+      (30L, words(300, 319))).toDF("doc_id", "text")
     val labels0 = DocOps.keepersFromEdges(old, DocOps.simhashEdges(old))
       .localCheckpoint(true)
-    // append: 30 bridges the two old components (identical to 2 and 11 via
-    // two new docs chained), 40 joins nobody
-    val app = Seq((30L, words(1, 20)), (31L, words(100, 119)),
-      (32L, words(300, 319)), (40L, words(500, 519))).toDF("doc_id", "text")
+    // append: doc 5's id is SMALLER than root 10 and shares its text, so
+    // the merged component minimum MOVES — the old docs {10, 11} must be
+    // RELABELED to 5 (the delta's old-doc branch); 50 extends {21,22}
+    // without moving its root; 60 joins nobody
+    val app = Seq((5L, words(1, 20)), (50L, words(100, 119)),
+      (60L, words(500, 519))).toDF("doc_id", "text")
     val all = old.union(app)
     val (edges, _) = DocOps.simhashEdgesAppend(DocOps.simhashIndex(old), app)
     def lab(df: org.apache.spark.sql.DataFrame): Map[Long, Long] =
@@ -176,14 +179,19 @@ class OptimizationEquivalenceSpec extends AnyFunSuite {
       all.select("doc_id"), labels0, edges))
     val delta = lab(DocOps.keepersDeltaIncremental(
       app.select("doc_id"), labels0, edges))
+    // the root move relabels BOTH old members of {10,11}; the unmoved
+    // component and the isolated old doc contribute no delta rows
+    assert(delta.get(10L) === Some(5L) && delta.get(11L) === Some(5L))
+    assert(!delta.contains(21L) && !delta.contains(22L) && !delta.contains(30L))
     // delta rows only for appended docs + relabeled old docs
-    assert(delta.keySet.intersect(Set(1L, 2L, 10L, 11L, 20L))
+    assert(delta.keySet.intersect(Set(10L, 11L, 21L, 22L, 30L))
       .forall(d => full(d) !== lab(labels0)(d)))
     // resolution: delta overrides labels0, rest unchanged
     val resolved = lab(labels0) ++ delta
     assert(resolved === full)
+    assert(full(10L) === 5L && full(50L) === 21L && full(60L) === 60L)
     // appended docs are always present in the delta
-    assert(Set(30L, 31L, 32L, 40L).subsetOf(delta.keySet))
+    assert(Set(5L, 50L, 60L).subsetOf(delta.keySet))
     graft.ops.CacheLedger.release()
   }
 }
